@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Point-in-time (as-of) join: for each probe (entity, t), the latest
+  * feature row of that entity with t' <= t — STRICT bound, zero temporal
+  * leakage by construction (reference: closed point-containment probe,
+  * src/utils/tree.rs:66-94, reinterpreted per BASELINE.json north_rule).
+  *
+  * Column convention: probes carry (`entity`, `t`, payload...); feats carry
+  * (`entity`, `t`, values...). Output: probe columns + `f_t` (matched
+  * feature time, null if none) + feature value columns (null if none).
+  *
+  * Two physical paths:
+  *  1. [[windowed]] — tag-union + `last(struct, ignoreNulls)` over an
+  *     (entity, t)-ordered frame `rowsBetween(unboundedPreceding, 0)`.
+  *     Pure Catalyst: one shuffle on entity, whole-stage codegen, scales by
+  *     entity cardinality; the frame bound IS the leakage guarantee.
+  *  2. [[broadcastPath]] — feature side small: broadcast per-entity
+  *     time-sorted arrays, binary-search per probe, zero shuffle.
+  */
+object AsOfJoin {
+
+  /** Pure-Catalyst union-window as-of merge. Feature rows sort BEFORE probe
+    * rows at equal t (tag 0 < 1), so t' == t is visible — the `<=` bound.
+    * If multiple feature rows share (entity, t), the one with the largest
+    * `tiebreak` column wins deterministically.
+    */
+  def windowed(probes: DataFrame, feats: DataFrame, tiebreak: Option[String] = None): DataFrame = {
+    val pPay = probes.columns.filterNot(Set("entity", "t"))
+    val fVal = feats.columns.filterNot(Set("entity", "t"))
+    val fStruct = struct((col("t").as("f_t") +: fVal.map(col)): _*)
+    val tb = tiebreak.map(col).getOrElse(lit(0L))
+    val fu = feats.select(col("entity"), col("t"), lit(0).as("__tag"),
+      tb.cast("long").as("__tb"), fStruct.as("__fv"),
+      lit(null).cast(StructType(probes.schema.fields.filter(f => pPay.contains(f.name)))).as("__pv"))
+    val pu = probes.select(col("entity"), col("t"), lit(1).as("__tag"), lit(0L).as("__tb"),
+      lit(null).cast(fu.schema("__fv").dataType).as("__fv"),
+      struct(pPay.map(col): _*).as("__pv"))
+    val w = Window.partitionBy(col("entity"))
+      .orderBy(col("t"), col("__tag"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    fu.unionByName(pu)
+      .withColumn("__last", last(col("__fv"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .select((Seq(col("entity"), col("t")) ++ pPay.map(n => col("__pv").getField(n).as(n)) ++
+        Seq(col("__last").getField("f_t").as("f_t")) ++
+        fVal.map(n => col("__last").getField(n).as(n))): _*)
+  }
+
+  /** Broadcast binary-search as-of: feature side collected, per-entity
+    * time-sorted; each probe binary-searches the greatest t' <= t.
+    */
+  def broadcastPath(probes: DataFrame, feats: DataFrame): DataFrame = {
+    val spark = probes.sparkSession
+    val fVal = feats.columns.filterNot(Set("entity", "t"))
+    val f = feats.select((Seq(col("entity"), col("t")) ++ fVal.map(col)): _*)
+    val fRows = f.collect()
+    val byEntity: Map[String, (Array[Long], Array[Int])] =
+      fRows.indices.groupBy(i => fRows(i).getString(0)).map { case (e, idxs) =>
+        val sorted = idxs.sortBy(i => (fRows(i).getLong(1), i.toLong)).toArray
+        e -> (sorted.map(i => fRows(i).getLong(1)), sorted)
+      }
+    val bc = spark.sparkContext.broadcast((fRows, byEntity))
+    val nVal = fVal.length
+    val outSchema = StructType(probes.schema.fields ++
+      (org.apache.spark.sql.types.StructField("f_t", org.apache.spark.sql.types.LongType, nullable = true) +:
+        f.schema.fields.drop(2).map(_.copy(nullable = true))))
+    probes.mapPartitions { it =>
+      val (rows, idx) = bc.value
+      it.map { pr =>
+        val base = pr.toSeq
+        idx.get(pr.getString(0)) match {
+          case None => Row.fromSeq(base ++ Seq.fill(nVal + 1)(null))
+          case Some((ts, order)) =>
+            val t = pr.getLong(1)
+            // greatest index with ts(i) <= t
+            var lo = 0; var hi = ts.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (ts(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (ans < 0) Row.fromSeq(base ++ Seq.fill(nVal + 1)(null))
+            else {
+              val frow = rows(order(ans))
+              Row.fromSeq(base ++ (frow.getLong(1) +: frow.toSeq.drop(2)))
+            }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Parent-closure: resolve each node to its tree root by following parent
+  * pointers to the fixpoint `parent(x) == x`
+  * (reference: src/index_loader/prt.rs:52-72; fallback-to-self roots,
+  * src/index_builder/core.rs:162-168).
+  *
+  * Distributed via POINTER DOUBLING: each round joins the current
+  * root-estimate against itself (`root' = root(root)`), halving the
+  * remaining path length — O(log depth) shuffles instead of O(depth).
+  * Null/dangling parents resolve to self (the reference's fallback).
+  */
+object Closure {
+
+  /** edges: (`id`, `parent`); parent == id or null marks a root.
+    * Returns (`id`, `root`).
+    */
+  def resolveRoots(edges: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val base = edges.select(col("id"), coalesce(col("parent"), col("id")).as("root"))
+    // ids present in the table; a parent pointing outside resolves to itself
+    var cur = base
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val next = cur.as("a")
+        .join(cur.as("b"), col("a.root") === col("b.id"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("b.root"), col("a.root")).as("root"))
+        .cache()
+      val changed = next.as("n").join(cur.as("c"), "id")
+        .where(col("n.root") =!= col("c.root")).limit(1).count()
+      cur.unpersist(false)
+      cur = next
+      converged = changed == 0
+      round += 1
+    }
+    cur
+  }
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interval / as-of / closure / coverage / sampling queries over the
+  * driver tables, each with a DuckDB oracle twin (SURVEY.md §2, §5).
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def feats4(s: SparkSession, d: String) =
+    Views.feats(s, d).select("entity", "start", "end", "fid")
+
+  // q01 — flagship interval join (Overlap), binned/salted path, per-probe checksum agg.
+  val q01: Q = (s, d) =>
+    IntervalJoin.binnedJoin(Views.probes(s, d), feats4(s, d), Overlap, 1024L)
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_matches"), sum("fid").as("sum_fid"),
+        min("f_start").as("min_fs"), max("f_end").as("max_fe"))
+
+  val q01Sql: String =
+    s"""WITH ${Views.featsSql}, ${Views.probesSql}
+       |SELECT p.probe_id AS probe_id, count(*) AS n_matches,
+       | CAST(sum(f.fid) AS BIGINT) AS sum_fid,
+       | min(f.f_start) AS min_fs, max(f.f_end) AS max_fe
+       |FROM probes p JOIN feats f
+       | ON p.entity = f.entity AND f.f_start < p.p_end AND f.f_end > p.p_start
+       |GROUP BY p.probe_id""".stripMargin
+
+  // q02 — Contained mode, broadcast interval-index path, raw pairs.
+  val q02: Q = (s, d) =>
+    IntervalJoin.broadcastJoin(Views.probesSmall(s, d), feats4(s, d), Contained)
+      .select("probe_id", "fid", "f_start", "f_end")
+
+  val q02Sql: String =
+    s"""WITH ${Views.featsSql}, ${Views.probesSmallSql}
+       |SELECT p.probe_id AS probe_id, f.fid AS fid, f.f_start AS f_start, f.f_end AS f_end
+       |FROM probes p JOIN feats f
+       | ON p.entity = f.entity AND f.f_start >= p.p_start AND f.f_end <= p.p_end""".stripMargin
+
+  // q03 — ContainsRegion mode, plane-sweep path, per-probe agg.
+  val q03: Q = (s, d) =>
+    IntervalJoin.sweepJoin(Views.probes(s, d), feats4(s, d), ContainsRegion)
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_matches"), sum("fid").as("sum_fid"))
+
+  val q03Sql: String =
+    s"""WITH ${Views.featsSql}, ${Views.probesSql}
+       |SELECT p.probe_id AS probe_id, count(*) AS n_matches,
+       | CAST(sum(f.fid) AS BIGINT) AS sum_fid
+       |FROM probes p JOIN feats f
+       | ON p.entity = f.entity AND f.f_start <= p.p_start AND f.f_end >= p.p_end
+       |GROUP BY p.probe_id""".stripMargin
+
+  // q04 — invert (-I): probes NOT contained in any feature.
+  val q04: Q = (s, d) =>
+    IntervalJoin.invert(Views.probes(s, d), feats4(s, d), ContainsRegion,
+      Seq("probe_id"), 1024L).select("probe_id", "entity", "start", "end")
+
+  val q04Sql: String =
+    s"""WITH ${Views.featsSql}, ${Views.probesSql}
+       |SELECT p.probe_id AS probe_id, p.entity AS entity,
+       | p.p_start AS start, p.p_end AS "end"
+       |FROM probes p WHERE NOT EXISTS (SELECT 1 FROM feats f
+       | WHERE f.entity = p.entity AND f.f_start <= p.p_start AND f.f_end >= p.p_end)""".stripMargin
+
+  // q05 — point-in-time as-of join: each event gets the latest order
+  // (strictly t' <= t) of the same customer. Oracle: DuckDB native ASOF.
+  val q05: Q = (s, d) => {
+    val fe = Views.table(s, d, "orders")
+      .groupBy(col("o_custkey").cast("string").as("entity"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      .agg(round(max(col("o_totalprice")) * 100).cast("long").as("price_c"))
+    val pr = Views.table(s, d, "events").select(
+      col("user_id").cast("string").as("entity"),
+      unix_micros(col("ts").cast("timestamp")).as("t"),
+      col("event_id"))
+    AsOfJoin.windowed(pr, fe)
+      .select(col("event_id"), col("entity"), col("t"), col("f_t"), col("price_c"))
+  }
+
+  val q05Sql: String =
+    """WITH f AS (SELECT CAST(o_custkey AS VARCHAR) AS entity,
+      |  epoch_us(o_orderdate) AS t,
+      |  CAST(round(max(o_totalprice)*100) AS BIGINT) AS price_c
+      |  FROM orders GROUP BY 1, 2),
+      |p AS (SELECT CAST(user_id AS VARCHAR) AS entity, epoch_us(ts) AS t, event_id FROM events)
+      |SELECT p.event_id AS event_id, p.entity AS entity, p.t AS t,
+      | f.t AS f_t, f.price_c AS price_c
+      |FROM p ASOF LEFT JOIN f ON p.entity = f.entity AND p.t >= f.t""".stripMargin
+
+  // q06 — parent-closure to root via pointer doubling; oracle: recursive CTE.
+  val q06: Q = (s, d) => {
+    val edges = Views.table(s, d, "orders").select(
+      col("o_orderkey").as("id"),
+      when(col("o_orderkey") < 10, col("o_orderkey"))
+        .otherwise(expr("o_orderkey DIV 10")).as("parent"))
+    Closure.resolveRoots(edges)
+  }
+
+  val q06Sql: String =
+    """WITH RECURSIVE e AS (SELECT o_orderkey AS id,
+      |  CASE WHEN o_orderkey < 10 THEN o_orderkey ELSE o_orderkey // 10 END AS parent
+      |  FROM orders),
+      |r AS (
+      |  SELECT id, parent AS root FROM e
+      |  UNION ALL
+      |  SELECT r.id, e.parent FROM r JOIN e ON e.id = r.root WHERE e.parent <> r.root
+      |)
+      |SELECT r.id AS id, r.root AS root FROM r
+      |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.id = r.root AND e.parent <> r.root)""".stripMargin
+
+  // q07 — per-group extents (≙ .gof root blocks, index_builder/core.rs:182-203).
+  val q07: Q = (s, d) =>
+    Views.feats(s, d).groupBy("group_id")
+      .agg(count(lit(1)).as("n"), min("start").as("g_start"), max("end").as("g_end"),
+        countDistinct("entity").as("n_entities"))
+
+  val q07Sql: String =
+    s"""WITH ${Views.featsSql}
+       |SELECT group_id, count(*) AS n, min(f_start) AS g_start, max(f_end) AS g_end,
+       | count(DISTINCT entity) AS n_entities
+       |FROM feats GROUP BY group_id""".stripMargin
+
+  // q08 — interval-union coverage length per entity (coverage.rs:92-121).
+  val q08: Q = (s, d) =>
+    Coverage.unionLength(Views.feats(s, d), Seq("entity"), "start", "end", Seq("fid"))
+
+  val q08Sql: String =
+    s"""WITH ${Views.featsSql},
+       |m AS (SELECT entity, f_start, f_end, fid,
+       |  max(f_end) OVER (PARTITION BY entity ORDER BY f_start, f_end, fid
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM feats),
+       |i AS (SELECT entity, f_start, f_end,
+       |  SUM(CASE WHEN maxe IS NULL OR f_start > maxe THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY entity ORDER BY f_start, f_end, fid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM m),
+       |g AS (SELECT entity, isl, min(f_start) AS s, max(f_end) AS e FROM i GROUP BY 1, 2)
+       |SELECT entity, CAST(sum(e - s) AS BIGINT) AS covered, count(*) AS n_islands
+       |FROM g GROUP BY entity""".stripMargin
+
+  // q09 — breadth per feature: union length of probe∩feature clips (coverage.rs:277-377).
+  val q09: Q = (s, d) => {
+    val pairs = IntervalJoin.binnedJoin(Views.probes(s, d), feats4(s, d), Overlap, 1024L)
+    Coverage.breadth(pairs, "fid", Seq("probe_id"))
+  }
+
+  val q09Sql: String =
+    s"""WITH ${Views.featsSql}, ${Views.probesSql},
+       |pairs AS (SELECT f.fid, p.probe_id,
+       |  greatest(p.p_start, f.f_start) AS cs, least(p.p_end, f.f_end) AS ce
+       |  FROM probes p JOIN feats f
+       |  ON p.entity = f.entity AND f.f_start < p.p_end AND f.f_end > p.p_start),
+       |m AS (SELECT fid, probe_id, cs, ce,
+       |  max(ce) OVER (PARTITION BY fid ORDER BY cs, ce, probe_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM pairs),
+       |i AS (SELECT fid, cs, ce,
+       |  SUM(CASE WHEN maxe IS NULL OR cs > maxe THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY fid ORDER BY cs, ce, probe_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM m),
+       |g AS (SELECT fid, isl, min(cs) AS s, max(ce) AS e FROM i GROUP BY 1, 2)
+       |SELECT fid, CAST(sum(e - s) AS BIGINT) AS breadth, count(*) AS n_islands
+       |FROM g GROUP BY fid""".stripMargin
+
+  // q10 — depth per feature: EXACT distinct probe count (depth.rs:193-207).
+  val q10: Q = (s, d) => {
+    val pairs = IntervalJoin.binnedJoin(Views.probes(s, d), feats4(s, d), Overlap, 1024L)
+    Coverage.depth(pairs, "fid", "probe_id")
+  }
+
+  val q10Sql: String =
+    s"""WITH ${Views.featsSql}, ${Views.probesSql}
+       |SELECT f.fid AS fid, count(DISTINCT p.probe_id) AS depth
+       |FROM probes p JOIN feats f
+       | ON p.entity = f.entity AND f.f_start < p.p_end AND f.f_end > p.p_start
+       |GROUP BY f.fid""".stripMargin
+
+  // q11 — attribute search: exact set (isin) + regex (rlike) over documents
+  // (reference: search.rs:92-111).
+  val q11: Q = (s, d) =>
+    Views.table(s, d, "documents")
+      .where(col("lang").isin("en", "de") && col("text").rlike("(join|merge) (table|scan)"))
+      .select("doc_id", "lang")
+
+  val q11Sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE lang IN ('en','de') AND regexp_matches(text, '(join|merge) (table|scan)')""".stripMargin
+
+  // q12 — deterministic stratified group sample (sample.rs:39-84, determinism fixed by spec).
+  val q12: Q = (s, d) =>
+    Sampling.stratifiedGroupSample(
+      Views.feats(s, d).select("entity", "group_id").distinct(),
+      "entity", "group_id", 0.1)
+
+  val q12Sql: String =
+    s"""WITH ${Views.featsSql},
+       |g AS (SELECT DISTINCT entity, group_id FROM feats),
+       |rk AS (SELECT entity, group_id,
+       |  row_number() OVER (PARTITION BY entity
+       |    ORDER BY (group_id * 2654435761) % 1000003, group_id) AS rk,
+       |  count(*) OVER (PARTITION BY entity) AS n FROM g)
+       |SELECT entity, group_id FROM rk WHERE rk <= CAST(ceil(n * 0.1) AS BIGINT)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q01_interval_overlap" -> q01,
+    "q02_interval_contained_bcast" -> q02,
+    "q03_interval_contains_sweep" -> q03,
+    "q04_interval_invert" -> q04,
+    "q05_asof_join" -> q05,
+    "q06_parent_closure" -> q06,
+    "q07_group_extents" -> q07,
+    "q08_coverage_union" -> q08,
+    "q09_breadth" -> q09,
+    "q10_depth" -> q10,
+    "q11_attr_search" -> q11,
+    "q12_stratified_sample" -> q12)
+
+  val oracles: Map[String, String] = Map(
+    "q01_interval_overlap" -> q01Sql,
+    "q02_interval_contained_bcast" -> q02Sql,
+    "q03_interval_contains_sweep" -> q03Sql,
+    "q04_interval_invert" -> q04Sql,
+    "q05_asof_join" -> q05Sql,
+    "q06_parent_closure" -> q06Sql,
+    "q07_group_extents" -> q07Sql,
+    "q08_coverage_union" -> q08Sql,
+    "q09_breadth" -> q09Sql,
+    "q10_depth" -> q10Sql,
+    "q11_attr_search" -> q11Sql,
+    "q12_stratified_sample" -> q12Sql)
+}
