@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, EventQueries}
+import graft.queries.{CoreQueries, EventQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,10 +14,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ EventQueries.defs
+    CoreQueries.defs ++ EventQueries.defs ++ TextQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ EventQueries.oracles
+    CoreQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles
 }

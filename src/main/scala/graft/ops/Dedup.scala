@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines: exact (hash-groupBy),
+  * MinHash+LSH candidate generation, SimHash signatures, exact n-gram
+  * Jaccard within blocks. All deterministic (md5-based, no RNG) and
+  * expressible in ANSI SQL for the oracle.
+  *
+  * Scale notes: exact dedup is one shuffle on the hash key; MinHash is
+  * explode -> partial-agg groupBy (map-side combine on doc_id) -> band
+  * self-join where bucket sizes, not corpus size, bound the output;
+  * hot buckets are the skew to watch — at 100 TB add a bucket-size cap
+  * or a salted secondary band.
+  */
+object Dedup {
+
+  /** Exact dedup on an arbitrary key expression: marks the canonical row
+    * (min id) per duplicate group and the group size.
+    */
+  def exact(df: DataFrame, idCol: String, keyExpr: String): DataFrame = {
+    val w = Window.partitionBy(col("dup_key"))
+    df.withColumn("dup_key", expr(keyExpr))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
+      .select(idCol, "dup_key", "group_size", "is_canonical")
+  }
+
+  /** Char n-gram shingles of a text column, exploded + distinct per doc. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(expr(s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), " +
+        s"i -> substring($textCol, i, $n))")).as("s"))
+      .distinct()
+
+  /** MinHash signatures: k independent hashes h_i(doc) = min(md5(i ':' s))
+    * over the doc's shingle set. md5 is identical in Spark and DuckDB, so
+    * signatures are engine-portable. One explode + one groupBy (partial agg
+    * does the mins map-side).
+    */
+  def minHashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(min(md5(concat(lit("0:"), col("s")))).as("mh0"),
+        (1 until k).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i")): _*)
+
+  /** LSH candidate pairs: band j = concat of r consecutive minhashes;
+    * docs sharing any band are candidates. Returns distinct (da < db).
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, k: Int = 8, r: Int = 2): DataFrame = {
+    require(k % r == 0)
+    val sig = minHashSignatures(shingles(df, idCol, textCol, shingleN), idCol, k)
+    val nBands = k / r
+    val bandExprs = (0 until nBands).map { j =>
+      val c = (0 until r).map(q => s"mh${j * r + q}").mkString("concat(", ", ", ")")
+      s"struct(${j}L AS j, $c AS b)"
+    }
+    val bands = sig.select(col(idCol),
+      explode(expr(s"array(${bandExprs.mkString(", ")})")).as("band"))
+      .select(col(idCol), col("band.j").as("j"), col("band.b").as("b"))
+    bands.as("a").join(bands.as("b"),
+        col("a.j") === col("b.j") && col("a.b") === col("b.b") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
+      .distinct()
+  }
+
+  /** SimHash: `bits`-bit signature; bit j votes +1/-1 per word occurrence
+    * from bit j of the word's md5 (hex digits -> 4 bits each). Near-dup
+    * docs land at small Hamming distance. Pure expressions, portable.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits <= 32 && bits % 4 == 0)
+    // per word: array of hex-digit values of md5 chars 1..bits/4
+    val hs = s"transform(split($textCol, ' '), w -> transform(sequence(1, ${bits / 4}), " +
+      s"p -> CAST(locate(substring(md5(w), p, 1), '0123456789abcdef') - 1 AS LONG)))"
+    val votes = (0 until bits).map { j =>
+      val digit = j / 4 + 1 // 1-based into hs element
+      val shift = 1 << (j % 4)
+      s"(CASE WHEN aggregate($hs, 0L, (acc, h) -> acc + 2 * ((element_at(h, $digit) DIV $shift) % 2) - 1) > 0 THEN ${1L << j}L ELSE 0L END)"
+    }
+    df.select(col(idCol), expr(votes.mkString(" + ")).as("simhash"))
+  }
+
+  /** Exact word-set Jaccard for all pairs within a blocking key (same
+    * block -> candidate). inter/union are exact ints; the division is one
+    * IEEE op — bit-identical across engines.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockKeyExpr: String): DataFrame = {
+    val words = df
+      .select(col(idCol), expr(blockKeyExpr).as("blk"),
+        explode(expr(s"array_distinct(split($textCol, ' '))")).as("w"))
+    val sizes = words.groupBy(col(idCol)).agg(count(lit(1)).as("nw"))
+    val inter = words.as("a").join(words.as("b"),
+        col("a.blk") === col("b.blk") && col("a.w") === col("b.w") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "da").withColumnRenamed("nw", "na"), "da")
+      .join(sizes.withColumnRenamed(idCol, "db").withColumnRenamed("nw", "nb"), "db")
+      .select(col("da"), col("db"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("unn"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+}

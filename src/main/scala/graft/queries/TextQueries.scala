@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.ops.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline queries: tokenization (the input_hint table),
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), ANN similarity
+  * (brute cosine + LSH buckets), text analysis (lang-ID, quality, token
+  * counts, fingerprints). Each has a DuckDB twin built from the same
+  * portable arithmetic (md5, polynomial word hash, IEEE doubles).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB twin of TextOps.wordHashExpr. */
+  private def dwh(w: String): String =
+    s"list_reduce(list_prepend(0, generate_series(1, len($w))), " +
+      s"(acc, i) -> acc * 31 + ascii(substring($w, i, 1)))"
+
+  // q19 — documents -> input_hint table (doc_id string, tokens array<int32>, n_tok, source).
+  val q19: Q = (s, d) => TextOps.tokenize(Views.table(s, d, "documents"))
+
+  val q19Sql: String =
+    s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       | list_transform(string_split(text, ' '), w -> CAST(${dwh("w")} % 50257 AS INTEGER)) AS tokens,
+       | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+       | source
+       |FROM documents""".stripMargin
+
+  // q20 — exact dedup on a 2-word-prefix hash key.
+  private val prefixKeySpark = "md5(concat_ws(' ', slice(split(text, ' '), 1, 2)))"
+  private val prefixKeyDuck = "md5(array_to_string(string_split(text, ' ')[1:2], ' '))"
+
+  val q20: Q = (s, d) => Dedup.exact(Views.table(s, d, "documents"), "doc_id", prefixKeySpark)
+
+  val q20Sql: String =
+    s"""WITH d AS (SELECT doc_id, $prefixKeyDuck AS dup_key FROM documents)
+       |SELECT doc_id, dup_key,
+       | count(*) OVER (PARTITION BY dup_key) AS group_size,
+       | doc_id = min(doc_id) OVER (PARTITION BY dup_key) AS is_canonical
+       |FROM d""".stripMargin
+
+  // q21 — MinHash+LSH near-dup candidate pairs (5-gram shingles, k=8, r=2).
+  val q21: Q = (s, d) =>
+    Dedup.minHashLshPairs(Views.table(s, d, "documents"), "doc_id", "text", 5, 8, 2)
+
+  val q21Sql: String = {
+    val mins = (0 until 8).map(i => s"min(md5('$i:' || s)) AS mh$i").mkString(", ")
+    val bands = (0 until 4).map(j =>
+      s"SELECT doc_id, $j AS j, mh${2 * j} || mh${2 * j + 1} AS b FROM sig").mkString(" UNION ALL ")
+    s"""WITH sh AS (SELECT DISTINCT doc_id, substring(text, i, 5) AS s
+       |  FROM documents, UNNEST(generate_series(1, greatest(len(text) - 4, 1))) AS t(i)),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY 1),
+       |bands AS ($bands)
+       |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |FROM bands a JOIN bands b ON a.j = b.j AND a.b = b.b AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // q22 — 16-bit SimHash signatures.
+  val q22: Q = (s, d) => Dedup.simHash(Views.table(s, d, "documents"), "doc_id", "text", 16)
+
+  val q22Sql: String = {
+    val terms = (0 until 16).map { j =>
+      val digit = j / 4 + 1
+      val shift = 1 << (j % 4)
+      s"(CASE WHEN list_sum(list_transform(hs, x -> 2 * ((x[$digit] // $shift) % 2) - 1)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH h AS (SELECT doc_id,
+       |  list_transform(string_split(text, ' '), w -> list_transform(generate_series(1, 4),
+       |    p -> strpos('0123456789abcdef', substring(md5(w), p, 1)) - 1)) AS hs
+       |  FROM documents)
+       |SELECT doc_id, $terms AS simhash FROM h""".stripMargin
+  }
+
+  // q23 — exact word-set Jaccard within 2-word-prefix blocks.
+  val q23: Q = (s, d) =>
+    Dedup.jaccardPairs(Views.table(s, d, "documents"), "doc_id", "text", prefixKeySpark)
+
+  val q23Sql: String =
+    s"""WITH w AS (SELECT doc_id, $prefixKeyDuck AS blk,
+       |  unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+       |sz AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY 1),
+       |it AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM w a JOIN w b ON a.blk = b.blk AND a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da, db, inter, sa.nw + sb.nw - inter AS unn,
+       | CAST(inter AS DOUBLE) / CAST(sa.nw + sb.nw - inter AS DOUBLE) AS jaccard
+       |FROM it JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db""".stripMargin
+
+  // q24 — brute-force cosine top-5 for query subset (vec_id % 40 = 0).
+  val q24: Q = (s, d) =>
+    Similarity.cosineKnnBrute(Views.table(s, d, "embeddings"), "vec_id", "embedding",
+      "vec_id % 40 = 0", 5)
+
+  val q24Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+      |  list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2 FROM embeddings),
+      |q AS (SELECT vec_id AS qid, emb AS qe, n2 AS qn2 FROM e WHERE vec_id % 40 = 0),
+      |s AS (SELECT qid, e.vec_id AS nid, list_inner_product(qe, e.emb) / sqrt(qn2 * e.n2) AS cos
+      |  FROM q JOIN e ON e.vec_id <> qid),
+      |r AS (SELECT qid, nid, cos,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
+      |SELECT qid, nid, rank, cos FROM r WHERE rank <= 5""".stripMargin
+
+  // q25 — LSH-bucketed ANN top-3 (8 sign-test bits), same query subset.
+  val q25: Q = (s, d) =>
+    Similarity.cosineKnnLsh(Views.table(s, d, "embeddings"), "vec_id", "embedding",
+      "vec_id % 40 = 0", 3, 8, 64)
+
+  val q25Sql: String = {
+    val bkt = (0 until 8).map { j =>
+      val p = (j * 7) % 64 + 1
+      val q = (j * 13 + 3) % 64 + 1
+      s"(CASE WHEN embedding[$p] > embedding[$q] THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |  list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2,
+       |  $bkt AS bkt FROM embeddings),
+       |q AS (SELECT vec_id AS qid, emb AS qe, n2 AS qn2, bkt AS qb FROM e WHERE vec_id % 40 = 0),
+       |s AS (SELECT qid, e.vec_id AS nid, list_inner_product(qe, e.emb) / sqrt(qn2 * e.n2) AS cos
+       |  FROM q JOIN e ON e.bkt = qb AND e.vec_id <> qid),
+       |r AS (SELECT qid, nid, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
+       |SELECT qid, nid, rank, cos FROM r WHERE rank <= 3""".stripMargin
+  }
+
+  // q26 — marker-profile language/topic ID.
+  val q26: Q = (s, d) => TextOps.langId(Views.table(s, d, "documents"))
+
+  val q26Sql: String = {
+    val profs = TextOps.LangProfiles
+    val counts = profs.map { case (n, ws) =>
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS BIGINT) AS n_$n"
+    }.mkString(", ")
+    val names = profs.map(_._1)
+    val pred = names.init.zipWithIndex.foldRight(s"'${names.last}'") { case ((n, i), els) =>
+      val ge = names.drop(i + 1).map(m => s"n_$n >= n_$m").mkString(" AND ")
+      s"CASE WHEN $ge THEN '$n' ELSE $els END"
+    }
+    s"""WITH c AS (SELECT doc_id, $counts FROM documents)
+       |SELECT doc_id, ${names.map(n => s"n_$n").mkString(", ")}, $pred AS lang_pred FROM c""".stripMargin
+  }
+
+  // q27 — quality scoring.
+  val q27: Q = (s, d) => TextOps.quality(Views.table(s, d, "documents"))
+
+  val q27Sql: String =
+    """WITH c AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> len(w) >= 6)) AS BIGINT) AS n_long,
+      |  CAST(len(text) AS BIGINT) AS n_chars FROM documents)
+      |SELECT doc_id, n_words, n_stop, n_long,
+      | (CAST(n_chars AS DOUBLE) - CAST(n_words - 1 AS DOUBLE)) / CAST(n_words AS DOUBLE) AS avg_word_len,
+      | CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+      | CAST(n_long AS DOUBLE) / CAST(n_words AS DOUBLE) AS long_ratio,
+      | 0.5 * (CAST(n_long AS DOUBLE) / CAST(n_words AS DOUBLE))
+      |  + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
+      |  + 0.2 * least(((CAST(n_chars AS DOUBLE) - CAST(n_words - 1 AS DOUBLE)) / CAST(n_words AS DOUBLE)) / 8.0, 1.0) AS quality
+      |FROM c""".stripMargin
+
+  // q28 — token counting (whitespace + BPE-ish regex).
+  val q28: Q = (s, d) => TextOps.tokenCounts(Views.table(s, d, "documents"))
+
+  val q28Sql: String =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+      | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re,
+      | CAST(len(text) AS BIGINT) AS n_chars_computed
+      |FROM documents""".stripMargin
+
+  // q29 — positional rolling-hash fingerprint.
+  val q29: Q = (s, d) => TextOps.fingerprint(Views.table(s, d, "documents"))
+
+  val q29Sql: String =
+    s"""WITH h AS (SELECT doc_id,
+       |  list_transform(string_split(text, ' '), w -> ${dwh("w")} % 1000003) AS whs
+       |  FROM documents)
+       |SELECT doc_id,
+       | CAST(list_reduce(list_prepend(0, generate_series(1, len(whs))),
+       |   (acc, i) -> acc + whs[i] * ((i * 2654435761) % 1000003)) AS BIGINT) AS fingerprint
+       |FROM h""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q19_tokenize" -> q19,
+    "q20_dedup_exact" -> q20,
+    "q21_minhash_lsh" -> q21,
+    "q22_simhash" -> q22,
+    "q23_ngram_jaccard" -> q23,
+    "q24_knn_cosine" -> q24,
+    "q25_knn_lsh" -> q25,
+    "q26_langid" -> q26,
+    "q27_quality" -> q27,
+    "q28_token_count" -> q28,
+    "q29_fingerprint" -> q29)
+
+  val oracles: Map[String, String] = Map(
+    "q19_tokenize" -> q19Sql,
+    "q20_dedup_exact" -> q20Sql,
+    "q21_minhash_lsh" -> q21Sql,
+    "q22_simhash" -> q22Sql,
+    "q23_ngram_jaccard" -> q23Sql,
+    "q24_knn_cosine" -> q24Sql,
+    "q25_knn_lsh" -> q25Sql,
+    "q26_langid" -> q26Sql,
+    "q27_quality" -> q27Sql,
+    "q28_token_count" -> q28Sql,
+    "q29_fingerprint" -> q29Sql)
+}

@@ -44,10 +44,10 @@ class WindowFeaturesSpec extends SparkSpec {
 
   test("synthetic token_seqs: n_tok == tokens.length, identical across parallelism (input_hint invariant)") {
     val a = Synth.tokenSeqs(spark, 500).collect()
-    assert(a.forall(r => r.getAs[Seq[Int]]("tokens").length == r.getAs[Int]("n_tok")))
+    assert(a.forall(r => r.getAs[scala.collection.Seq[Int]]("tokens").length == r.getAs[Int]("n_tok")))
     val b = Synth.tokenSeqs(spark, 500).repartition(13).collect()
-    val am = a.map(r => r.getString(0) -> r.getAs[Seq[Int]]("tokens")).toMap
-    val bm = b.map(r => r.getString(0) -> r.getAs[Seq[Int]]("tokens")).toMap
+    val am = a.map(r => r.getString(0) -> r.getAs[scala.collection.Seq[Int]]("tokens")).toMap
+    val bm = b.map(r => r.getString(0) -> r.getAs[scala.collection.Seq[Int]]("tokens")).toMap
     assert(am == bm, "token-array equality per row at any parallelism")
     // skew fixture present: some docs get ~5x max length
     assert(a.exists(_.getAs[Int]("n_tok") > 512))

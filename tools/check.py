@@ -17,6 +17,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("Int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)
+        elif df[c].dtype == object:
+            # list/array columns -> tuples so sort/compare work
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                hasattr(v, "__len__") and not isinstance(v, (str, bytes)) else v)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
