@@ -1,0 +1,99 @@
+package graft.index
+
+import graft.index.IndexBuild.IndexTables
+import graft.ops.{IntervalJoin, OverlapMode}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's query commands re-expressed over the persisted index
+  * tables: extract (ID lookup, extract.rs:37-162), search (attribute
+  * front-end, search.rs:55-252), intersect (region query,
+  * intersect.rs:541-655). Each is 2-3 broadcast/equi joins + the interval
+  * kernel; roots flow as dense ids; missing names/attrs surface as a
+  * separate "missing" output instead of the reference's u32::MAX sentinels.
+  */
+object GffOps {
+
+  /** extract: feature names -> fids (J3 broadcast-hash) -> roots (J4,
+    * precomputed root_fid column) -> all rows of the matched groups,
+    * file-ordered (S8/S9 sinks). `types` non-empty ≙ `-T` filtered output
+    * (common.rs:289-465); empty ≙ whole-group blocks (common.rs:188-287).
+    */
+  def extract(t: IndexTables, names: DataFrame, types: Seq[String] = Nil): DataFrame = {
+    val nm = names.select(trim(col(names.columns.head)).as("id"))
+      .where(length(col("id")) > 0).distinct()
+    val roots = t.features.join(broadcast(nm), Seq("id"), "left_semi")
+      .select(col("root_fid")).distinct()
+    val rows = t.features.join(broadcast(roots), "root_fid")
+    val filtered = if (types.nonEmpty) rows.where(col("ftype").isin(types: _*)) else rows
+    filtered.orderBy(col("line_no"))
+  }
+
+  /** Names absent from the index (reference warns + skips,
+    * extract.rs:88-111).
+    */
+  def missingNames(t: IndexTables, names: DataFrame): DataFrame = {
+    val nm = names.select(trim(col(names.columns.head)).as("id"))
+      .where(length(col("id")) > 0).distinct()
+    nm.join(t.features.select("id").where(col("id").isNotNull).distinct(),
+      Seq("id"), "left_anti")
+  }
+
+  /** search --exact: attr values -> aids (M4 set membership over the
+    * dictionary) -> fids (J5 inverted equi-join) -> group rows.
+    */
+  def searchExact(t: IndexTables, values: Seq[String], types: Seq[String] = Nil): DataFrame =
+    searchByAids(t, t.attrDict.where(col("attr").isin(values: _*)), types)
+
+  /** search --regex: any-of regexes over the attr dictionary (M3). Running
+    * the regex on the DICTIONARY (small) instead of the fact table is the
+    * reference's trick (search.rs:92-103) — dictionary size, not corpus
+    * size, bounds the regex cost.
+    */
+  def searchRegex(t: IndexTables, patterns: Seq[String], types: Seq[String] = Nil): DataFrame = {
+    val pred = patterns.map(p => col("attr").rlike(p)).reduce(_ || _)
+    searchByAids(t, t.attrDict.where(pred), types)
+  }
+
+  private def searchByAids(t: IndexTables, aids: DataFrame, types: Seq[String]): DataFrame = {
+    val roots = t.features.join(broadcast(aids.select("aid")), Seq("aid"), "left_semi")
+      .select("root_fid").distinct()
+    val rows = t.features.join(broadcast(roots), "root_fid")
+    val filtered = if (types.nonEmpty) rows.where(col("ftype").isin(types: _*)) else rows
+    filtered.orderBy(col("line_no"))
+  }
+
+  /** intersect: probe regions against the root-interval table (J1), mode +
+    * invert (P3/P4), then either matched groups' full rows ("entire-group",
+    * intersect.rs:647-652) or per-feature re-checked rows ("match-only",
+    * intersect.rs:232-438).
+    */
+  def intersect(t: IndexTables, regions: DataFrame, mode: OverlapMode,
+      invert: Boolean = false, matchOnly: Boolean = false,
+      types: Seq[String] = Nil): DataFrame = {
+    val probes = regions.select(col("entity_id").as("entity"), col("start"), col("end"))
+    val ivs = t.intervals.select(col("entity_id").as("entity"), col("start"),
+      col("end"), col("root_fid"))
+    if (invert) {
+      val matched = IntervalJoin.join(probes, ivs, mode)
+        .select(col("root_fid")).distinct()
+      val allRoots = ivs.select("root_fid").distinct()
+      val keep = allRoots.join(matched, Seq("root_fid"), "left_anti")
+      t.features.join(keep, "root_fid").orderBy(col("line_no"))
+    } else {
+      val hits = IntervalJoin.join(probes, ivs, mode)
+      val roots = hits.select(col("root_fid")).distinct()
+      val rows = t.features.join(roots, "root_fid")
+      val out0 = if (matchOnly) {
+        // re-check overlap per feature line (intersect.rs:301-307)
+        val q = probes.select(col("entity").as("entity_id"),
+          col("start").as("q_start"), col("end").as("q_end"))
+        rows.join(q, Seq("entity_id"))
+          .where(col("start") < col("q_end") && col("end") > col("q_start"))
+          .drop("q_start", "q_end").dropDuplicates("fid")
+      } else rows
+      val out = if (types.nonEmpty) out0.where(col("ftype").isin(types: _*)) else out0
+      out.orderBy(col("line_no"))
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft.index
+
+import graft.ops.Closure
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The index-build job (reference lifecycle §3.1, index_builder/core.rs:41-242)
+  * re-expressed as a 5-stage Spark pipeline producing persisted index
+  * tables — the Spark-native analog of the 8 sidecar files:
+  *
+  *  - features (+ fid, root_fid)  ≙ .fts/.prt resolved     (dense ids)
+  *  - attr dictionary (aid)       ≙ .atn/.a2f
+  *  - entity dictionary           ≙ .sqs
+  *  - group extents               ≙ .gof
+  *  - interval table, range-partitioned by (entity, start) ≙ .rit/.rix
+  *
+  * Dense ids come from `row_number` over a TOTAL order (line_no), not
+  * `monotonically_increasing_id` — reproducible at any parallelism
+  * (SURVEY.md §7 "what's hard" #1). Cost: one global sort at index time,
+  * amortized over every query after (index-once/query-many, README.md:383).
+  */
+object IndexBuild {
+
+  final case class IndexTables(
+      features: DataFrame, // line_no, fid, entity_id, seqid, ftype, start, end, id, parent, attr, root_fid, aid
+      entityDict: DataFrame, // seqid -> entity_id (first-appearance order, core.rs:153,171-176)
+      attrDict: DataFrame, // attr -> aid (u32::MAX null sentinel -> SQL null)
+      groupExtents: DataFrame, // root_fid -> n, min line_no, max line_no, min start, max end
+      intervals: DataFrame) // entity_id, start, end, root_fid (≙ tree payload tree.rs:6-10)
+
+  /** Build all index tables from a parsed GFF DataFrame (GffSource.parse). */
+  def build(parsed: DataFrame): IndexTables = {
+    val spark = parsed.sparkSession
+    // stage 1: dense fid by file order (≙ fid = row ordinal, core.rs:141-144)
+    val wAll = Window.orderBy(col("line_no"))
+    val feats = parsed
+      .withColumn("fid", row_number().over(wAll).cast("long") - 1)
+      .cache()
+
+    // stage 2: entity dictionary in first-appearance order (core.rs:153)
+    val entityDict = feats.groupBy(col("seqid"))
+      .agg(min(col("line_no")).as("first_ln"))
+      .withColumn("entity_id", row_number().over(Window.orderBy(col("first_ln"))).cast("long") - 1)
+      .drop("first_ln")
+
+    // stage 3: attr dictionary; missing attr ≙ u32::MAX sentinel -> null aid
+    val attrDict = feats.where(col("attr").isNotNull)
+      .groupBy(col("attr")).agg(min(col("fid")).as("first_fid"))
+      .withColumn("aid", row_number().over(Window.orderBy(col("first_fid"))).cast("long") - 1)
+      .drop("first_fid")
+
+    // stage 4: parent closure to roots (string ids; missing Parent -> self,
+    // core.rs:162-168); resolve names -> fids, then pointer-double.
+    val nameToFid = feats.where(col("id").isNotNull)
+      .groupBy(col("id")).agg(min(col("fid")).as("pfid"))
+    val edges = feats
+      .join(nameToFid.withColumnRenamed("id", "parent").withColumnRenamed("pfid", "parent_fid"),
+        Seq("parent"), "left")
+      .select(col("fid").as("id"),
+        coalesce(col("parent_fid"), col("fid")).as("parent"))
+    val roots = Closure.resolveRoots(edges)
+      .withColumnRenamed("id", "fid").withColumnRenamed("root", "root_fid")
+
+    val full = feats
+      .join(roots, "fid")
+      .join(entityDict, "seqid")
+      .join(attrDict, Seq("attr"), "left")
+      .select("line_no", "fid", "entity_id", "seqid", "ftype", "start", "end",
+        "id", "parent", "attr", "aid", "root_fid")
+
+    // stage 5: group extents (≙ .gof, core.rs:182-203) + interval table
+    val groupExtents = full.groupBy(col("root_fid"))
+      .agg(count(lit(1)).as("n"),
+        min(col("line_no")).as("ln_start"), max(col("line_no")).as("ln_end"),
+        min(col("start")).as("g_start"), max(col("end")).as("g_end"),
+        first(col("entity_id")).as("entity_id"))
+
+    // root interval per group on its entity; range-partitioned like the
+    // per-seqid trees (.rit/.rix): co-located probes hit one partition.
+    val intervals = groupExtents
+      .select(col("entity_id"), col("g_start").as("start"), col("g_end").as("end"),
+        col("root_fid"))
+      .repartitionByRange(col("entity_id"), col("start"))
+      .sortWithinPartitions(col("entity_id"), col("start"))
+
+    IndexTables(full, entityDict, attrDict, groupExtents, intervals)
+  }
+
+  /** Persist index tables as partitioned parquet + a JSON manifest
+    * (≙ writing the sidecars, core.rs:221-236 + tree_io.rs:37-63).
+    */
+  def write(t: IndexTables, dir: String): Unit = {
+    t.features.write.mode("overwrite").parquet(s"$dir/features")
+    t.entityDict.write.mode("overwrite").parquet(s"$dir/entity_dict")
+    t.attrDict.write.mode("overwrite").parquet(s"$dir/attr_dict")
+    t.groupExtents.write.mode("overwrite").parquet(s"$dir/group_extents")
+    t.intervals.write.mode("overwrite").parquet(s"$dir/intervals")
+    val counts = Seq(
+      "features" -> t.features.count(), "entity_dict" -> t.entityDict.count(),
+      "attr_dict" -> t.attrDict.count(), "group_extents" -> t.groupExtents.count(),
+      "intervals" -> t.intervals.count())
+    val json = counts.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/manifest.json"),
+      json.getBytes("UTF-8"))
+  }
+
+  def load(spark: SparkSession, dir: String): IndexTables = IndexTables(
+    spark.read.parquet(s"$dir/features"),
+    spark.read.parquet(s"$dir/entity_dict"),
+    spark.read.parquet(s"$dir/attr_dict"),
+    spark.read.parquet(s"$dir/group_extents"),
+    spark.read.parquet(s"$dir/intervals"))
+}

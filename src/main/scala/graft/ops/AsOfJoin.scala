@@ -59,8 +59,8 @@ object AsOfJoin {
     val fVal = feats.columns.filterNot(Set("entity", "t"))
     val f = feats.select((Seq(col("entity"), col("t")) ++ fVal.map(col)): _*)
     val fRows = f.collect()
-    val byEntity: Map[String, (Array[Long], Array[Int])] =
-      fRows.indices.groupBy(i => fRows(i).getString(0)).map { case (e, idxs) =>
+    val byEntity: Map[Any, (Array[Long], Array[Int])] =
+      fRows.indices.groupBy(i => fRows(i).get(0)).map { case (e, idxs) =>
         val sorted = idxs.sortBy(i => (fRows(i).getLong(1), i.toLong)).toArray
         e -> (sorted.map(i => fRows(i).getLong(1)), sorted)
       }
@@ -73,7 +73,7 @@ object AsOfJoin {
       val (rows, idx) = bc.value
       it.map { pr =>
         val base = pr.toSeq
-        idx.get(pr.getString(0)) match {
+        idx.get(pr.get(0)) match {
           case None => Row.fromSeq(base ++ Seq.fill(nVal + 1)(null))
           case Some((ts, order)) =>
             val t = pr.getLong(1)

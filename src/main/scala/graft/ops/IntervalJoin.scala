@@ -98,8 +98,8 @@ object IntervalJoin {
     val f = prep(feats, "f")
     val fSchema = f.schema
     val fRows: Array[Row] = f.collect()
-    val byEntity: Map[String, IntervalIndex] =
-      fRows.indices.groupBy(i => fRows(i).getString(0)).map { case (e, idxs) =>
+    val byEntity: Map[Any, IntervalIndex] =
+      fRows.indices.groupBy(i => fRows(i).get(0)).map { case (e, idxs) =>
         e -> IntervalIndex.build(idxs.map(i => (fRows(i).getLong(1), fRows(i).getLong(2), i)).toArray)
       }
     val bc = spark.sparkContext.broadcast((fRows, byEntity))
@@ -107,7 +107,7 @@ object IntervalJoin {
     p.mapPartitions { it =>
       val (rows, idx) = bc.value
       it.flatMap { pr =>
-        idx.get(pr.getString(0)) match {
+        idx.get(pr.get(0)) match {
           case None => Iterator.empty[Row]
           case Some(ix) =>
             val ps = pr.getLong(1); val pe = pr.getLong(2)
@@ -141,12 +141,12 @@ object IntervalJoin {
     val outSchema = StructType(p.schema.fields ++ f.schema.fields.drop(1))
     val m = mode
     u.mapPartitions { it =>
-      var curEntity: String = null
+      var curEntity: Any = null
       // actives: (start, end, payloadRow), start-sorted by arrival
       val activeP = new ArrayBuffer[(Long, Long, Row)]()
       val activeF = new ArrayBuffer[(Long, Long, Row)]()
       it.flatMap { r =>
-        val e = r.getString(0)
+        val e = r.get(0)
         if (e != curEntity) { curEntity = e; activeP.clear(); activeF.clear() }
         val pr = if (r.isNullAt(2)) null else r.getStruct(2)
         val out = new ArrayBuffer[Row]()

@@ -32,6 +32,19 @@ object TextOps {
       sourceCol: String = "source"): DataFrame =
     docs.select(
       col(idCol).cast("string").as("doc_id"),
+      graft.functions.TextHash.token_hash_all(col(textCol)).as("tokens"),
+      col(sourceCol).as("source"))
+      .withColumn("n_tok", size(col("tokens")))
+      .select("doc_id", "tokens", "n_tok", "source")
+
+  /** Declarative (HOF) twin of [[tokenize]] — slower (interpreted lambdas)
+    * but built-ins only; kept as the executable spec the codegen'd
+    * expression is tested against.
+    */
+  def tokenizeHof(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame =
+    docs.select(
+      col(idCol).cast("string").as("doc_id"),
       expr(s"transform(split($textCol, ' '), w -> CAST(${wordHashExpr("w")} % 50257 AS INT))")
         .as("tokens"),
       expr(s"size(split($textCol, ' '))").cast("int").as("n_tok"),
@@ -96,6 +109,11 @@ object TextOps {
     * 64-bit, reproducible in SQL (≙ content-defined document identity).
     */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.TextHash.fingerprint64(col(textCol)).as("fingerprint"))
+
+  /** Declarative (HOF) twin of [[fingerprint]] — the executable spec. */
+  def fingerprintHof(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
       expr(
         s"""aggregate(sequence(1, size(split($textCol, ' '))), 0L,

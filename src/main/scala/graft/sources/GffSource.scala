@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GFF3-style line scan (reference: index_builder/core.rs:54-138) as a
+  * declarative Spark source: read text, keep a stable line ordinal, skip
+  * comments/blanks, split 9 tab fields, regex-extract ID/Parent/attr,
+  * normalize coordinates. Catalyst prunes/pushes everything; the only
+  * shuffle in the whole parse is the (optional) global sort that assigns
+  * dense fids.
+  */
+object GffSource {
+
+  /** Default feature types dropped at index time
+    * (reference: commands/index.rs:18-19).
+    */
+  val DefaultSkipTypes: Seq[String] = Seq("remark", "note", "comment", "region",
+    "gap", "assembly_gap", "contig", "scaffold", "source")
+
+  /** Parse a GFF3 text file into a normalized feature DataFrame:
+    * (line_no, seqid, source, ftype, start, end, score, strand, phase,
+    *  attrs, id, parent, attr) with:
+    *  - start>end swapped (core.rs:107), end==0 dropped (core.rs:104-106),
+    *  - 1-based closed -> 0-based half-open [start-1, end) (core.rs:108-109),
+    *  - comment/blank lines skipped (core.rs:79-81),
+    *  - skip_types filter (core.rs:47,95-100),
+    *  - ID=/Parent=/<attrKey>= regex extraction (core.rs:43-45,112-127).
+    */
+  def parse(spark: SparkSession, path: String, attrKey: String = "gene_name",
+      skipTypes: Seq[String] = DefaultSkipTypes): DataFrame = {
+    val raw = spark.read.text(path)
+      .select(col("value"))
+      // stable line ordinal: GFF group blocks are file-order contiguous
+      .withColumn("line_no", monotonically_increasing_id())
+    // monotonically_increasing_id is partition-stable for a single text
+    // file read in order, but NOT dense; re-rank below where density
+    // matters. For multi-file inputs pass one path per call.
+    val f = raw
+      .where(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+      .withColumn("p", split(col("value"), "\t"))
+      .where(size(col("p")) === 9) // exactly 9 fields (core.rs:87-89)
+      .select(
+        col("line_no"),
+        col("p").getItem(0).as("seqid"),
+        col("p").getItem(1).as("source"),
+        col("p").getItem(2).as("ftype"),
+        col("p").getItem(3).cast("long").as("raw_start"),
+        col("p").getItem(4).cast("long").as("raw_end"),
+        col("p").getItem(5).as("score"),
+        col("p").getItem(6).as("strand"),
+        col("p").getItem(7).as("phase"),
+        col("p").getItem(8).as("attrs"))
+      .where(!col("ftype").isin(skipTypes: _*))
+      .where(col("raw_end") =!= 0) // end==0 dropped (core.rs:104-106)
+      // swap reversed coords, then 1-closed -> 0-half-open
+      .withColumn("start", least(col("raw_start"), col("raw_end")) - 1)
+      .withColumn("end", greatest(col("raw_start"), col("raw_end")))
+      .drop("raw_start", "raw_end")
+      .withColumn("id", nullIfEmpty(regexp_extract(col("attrs"), "ID=([^;\\s]+)", 1)))
+      .withColumn("parent", nullIfEmpty(regexp_extract(col("attrs"), "Parent=([^;\\s]+)", 1)))
+      .withColumn("attr",
+        nullIfEmpty(regexp_extract(col("attrs"), java.util.regex.Pattern.quote(attrKey) + "=([^;]+)", 1)))
+    f
+  }
+
+  private def nullIfEmpty(c: org.apache.spark.sql.Column) =
+    when(length(c) > 0, c)
+
+  /** Parse the attributes column wholesale to a map (alternative to the
+    * 3-column extraction; ≙ GFF3 `key=value;...`).
+    */
+  def attrsAsMap(df: DataFrame): DataFrame =
+    df.withColumn("attr_map", expr("str_to_map(attrs, ';', '=')"))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.runtime.{Checkpoint, MetricsListener}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Resume-from-checkpoint == single-run output (north_rule); committed
+  * partitions are not recomputed; manifests carry lineage + metrics.
+  */
+class CheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_ckpt").toString
+
+  private val data = (0 until 1000)
+    .map(i => (s"b${i % 4}", i.toLong, i.toLong * 3 % 97))
+    .toDF("bucket", "t", "v")
+  private val buckets = Seq("b0", "b1", "b2", "b3")
+
+  test("partial run + resume == single run; committed buckets skipped") {
+    val single = freshDir()
+    Checkpoint.runPartitioned(data, "bucket", buckets, single, "t")
+
+    val resumed = freshDir()
+    // crash after two partitions
+    val r1 = Checkpoint.runPartitioned(data, "bucket", buckets.take(2), resumed, "t")
+    assert(r1.written.map(_.bucket) == Seq("b0", "b1"))
+    // resume with the full bucket list
+    val r2 = Checkpoint.runPartitioned(data, "bucket", buckets, resumed, "t")
+    assert(r2.skipped.toSet == Set("b0", "b1"), "committed partitions must be skipped")
+    assert(r2.written.map(_.bucket) == Seq("b2", "b3"))
+
+    val a = Checkpoint.readCommitted(spark, single, "bucket", buckets)
+      .collect().map(_.toSeq).toSet
+    val b = Checkpoint.readCommitted(spark, resumed, "bucket", buckets)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "resume-from-checkpoint must equal single-run output")
+  }
+
+  test("manifest carries per-partition lineage + throughput") {
+    val dir = freshDir()
+    val r = Checkpoint.runPartitioned(data, "bucket", Seq("b0"), dir, "t",
+      inputFingerprint = "unit-test-input")
+    val m = r.written.head
+    assert(m.rows == 250)
+    assert(m.tMin == 0 && m.tMax == 996)
+    assert(m.rowsPerSec > 0 && m.durationSec > 0)
+    assert(m.planHash.nonEmpty)
+    val onDisk = new String(Files.readAllBytes(
+      Paths.get(s"$dir/_manifests/bucket=b0.json")))
+    assert(onDisk.contains("\"rows\":250") && onDisk.contains("unit-test-input"))
+  }
+
+  test("metrics listener captures task/record counts around a job") {
+    val (cnt, json) = MetricsListener.around(spark) {
+      spark.range(100000).select(sum("id")).collect()(0).getLong(0)
+    }
+    assert(cnt == 4999950000L)
+    assert(json.contains("\"tasks\":") && !json.contains("\"tasks\":0"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.Multimodal
+import graft.streaming.StreamingFeatures
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling agg == batch tumbling agg (parity contract)") {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file-source needs a directory of matching files: stage one
+    val dir = Files.createTempDirectory("stream_in").toString
+    spark.read.parquet(s"$sfDir/events.parquet").write.parquet(s"$dir/in")
+    val sdf = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingFeatures.tumblingCounts(sdf, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumb")
+      .select(col("window.start").cast("long"), col("user_id"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    val exp = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long"), col("user_id"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == exp, "streaming result must equal batch result on the same data")
+  }
+
+  test("micro-batch foreachBatch merge == single-pass aggregate (depth.rs batching)") {
+    val dir = Files.createTempDirectory("mb").toString
+    // split events into 4 files to force multiple micro-batches
+    spark.read.parquet(s"$sfDir/events.parquet").repartition(4)
+      .write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val sdf = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = StreamingFeatures.microBatchAggregate(sdf, s"$dir/state_root")
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/state_root/state")
+      .select("user_id", "n").as[(Long, Long)].collect().toMap
+    val exp = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == exp, "cross-batch merged state must equal one-shot aggregate")
+  }
+
+  test("multimodal: binary schema, batched feature extraction, frame sampling") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bin = Multimodal.asBinaryTable(docs)
+    assert(bin.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(bin, batchSize = 64)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("features").length == 16))
+    // histogram sums to ~1 (normalized by length)
+    val s = rows.head.getAs[scala.collection.Seq[Float]]("features").sum
+    assert(math.abs(s - 1.0f) < 1e-3)
+    // deterministic across partitionings
+    val a = feats.select("doc_id", "features").collect()
+      .map(r => r.getString(0) -> r.getAs[scala.collection.Seq[Float]](1)).toMap
+    val b = Multimodal.extractFeatures(bin.repartition(7), 64)
+      .select("doc_id", "features").collect()
+      .map(r => r.getString(0) -> r.getAs[scala.collection.Seq[Float]](1)).toMap
+    assert(a == b)
+    val fs = Multimodal.frameSample(bin, stride = 16, maxFrames = 8).collect()
+    assert(fs.forall(_.getLong(2) <= 8))
+  }
+}
