@@ -52,14 +52,17 @@ object Bench {
     }
     s1.stop()
 
-    // part 2: scaling probe at 8 vs 32 cores, identical input (median-of-k
-    // alternating runs, tmpfs spill — see ScalingBench)
+    // part 2: N->4N scaling probes (default arms 2 vs 8 cores; full
+    // methodology + ceiling analysis in BASELINE.md / ScalingBench)
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
     val w = ScalingBench.measure(ScalingBench.windowJob, "window_features_asof",
-      scaleN, scaleN / 50, reps = 1)
+      scaleN, scaleN, reps = 1)
+    val t = ScalingBench.measure(ScalingBench.tokenJob, "tokenize_fingerprint_quality",
+      scaleDocs, scaleDocs, reps = 1)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":${w.json}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"window":${w.json},"tokens":${t.json}}}""")
   }
 }

@@ -63,6 +63,20 @@ object GffOps {
     filtered.orderBy(col("line_no"))
   }
 
+  /** A1 — per-root bucketing of matched probes (intersect.rs:598-607,
+    * coverage.rs:180-190): root_fid -> sorted list of probe ids + counts.
+    */
+  def matchesPerRoot(t: IndexTables, regions: DataFrame, mode: OverlapMode): DataFrame = {
+    val probes = regions.select(col("probe_id"), col("entity_id").as("entity"),
+      col("start"), col("end"))
+    val ivs = t.intervals.select(col("entity_id").as("entity"), col("start"),
+      col("end"), col("root_fid"))
+    IntervalJoin.join(probes, ivs, mode)
+      .groupBy(col("root_fid"))
+      .agg(count(lit(1)).as("n_matches"),
+        sort_array(collect_list(col("probe_id"))).as("probe_ids"))
+  }
+
   /** intersect: probe regions against the root-interval table (J1), mode +
     * invert (P3/P4), then either matched groups' full rows ("entire-group",
     * intersect.rs:647-652) or per-feature re-checked rows ("match-only",

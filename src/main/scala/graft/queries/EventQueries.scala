@@ -114,7 +114,60 @@ object EventQueries {
        | CAST(sum(cents) AS BIGINT) AS vsum, min(cents) AS vmin, max(cents) AS vmax
        |FROM e GROUP BY 1, 2""".stripMargin
 
+  // q31 — THE flagship: assembled entity×timestamp feature rows (the
+  // north_star metric unit). One window-spec shuffle stacks lag + rolling +
+  // backfill + session id; one as-of union adds the point-in-time order
+  // feature. Strict t'<=t everywhere.
+  val q31: Q = (s, d) => {
+    val e = Views.eventsV(s, d).withColumn("v",
+      when(col("event_id") % 7 === 0, lit(null).cast("double")).otherwise(col("value")))
+    val stacked = graft.ops.WindowFeatures.sessionize(
+      graft.ops.WindowFeatures.rolling(
+        graft.ops.WindowFeatures.backfill(
+          graft.ops.WindowFeatures.lagLead(e, "value", Seq(1),
+            entity = "user_id", time = "t", tiebreak = "event_id"),
+          "v", entity = "user_id", time = "t", tiebreak = "event_id"),
+        "cents", 5, entity = "user_id", time = "t", tiebreak = "event_id"),
+      SessionGapMicros, entity = "user_id", time = "t", tiebreak = "event_id")
+    val orders = Views.table(s, d, "orders")
+      .groupBy(col("o_custkey").cast("string").as("entity"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      .agg(round(max(col("o_totalprice")) * 100).cast("long").as("price_c"))
+    val probes = stacked.select(col("user_id").cast("string").as("entity"), col("t"),
+      col("event_id"), col("value_lag1"), col("cents_rsum5"), col("v_ff"), col("session_id"))
+    graft.ops.AsOfJoin.windowed(probes, orders)
+      .select("event_id", "entity", "t", "value_lag1", "cents_rsum5", "v_ff",
+        "session_id", "price_c")
+  }
+
+  val q31Sql: String =
+    s"""WITH ${Views.eventsSql},
+       |b AS (SELECT event_id, user_id, t, cents, value,
+       |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM e),
+       |s AS (SELECT event_id, user_id, t,
+       |  lag(value, 1) OVER w AS value_lag1,
+       |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_rsum5,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff,
+       |  CASE WHEN lag(t, 1) OVER w IS NULL
+       |       OR t - lag(t, 1) OVER w > $SessionGapMicros THEN 1 ELSE 0 END AS brk
+       |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       |s2 AS (SELECT event_id, CAST(user_id AS VARCHAR) AS entity, t, value_lag1,
+       |  cents_rsum5, v_ff,
+       |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+       |  FROM s),
+       |f AS (SELECT CAST(o_custkey AS VARCHAR) AS entity,
+       |  epoch_us(o_orderdate) AS t,
+       |  CAST(round(max(o_totalprice)*100) AS BIGINT) AS price_c
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT s2.event_id AS event_id, s2.entity AS entity, s2.t AS t,
+       | s2.value_lag1, s2.cents_rsum5, s2.v_ff, s2.session_id, f.price_c AS price_c
+       |FROM s2 ASOF LEFT JOIN f ON s2.entity = f.entity AND s2.t >= f.t""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q31_feature_assembly" -> q31,
     "q13_lag_lead" -> q13,
     "q14_backfill" -> q14,
     "q15_sessionize" -> q15,
@@ -123,6 +176,7 @@ object EventQueries {
     "q18_tumbling" -> q18)
 
   val oracles: Map[String, String] = Map(
+    "q31_feature_assembly" -> q31Sql,
     "q13_lag_lead" -> q13Sql,
     "q14_backfill" -> q14Sql,
     "q15_sessionize" -> q15Sql,

@@ -183,7 +183,23 @@ object TextQueries {
        |   (acc, i) -> acc + whs[i] * ((i * 2654435761) % 1000003)) AS BIGINT) AS fingerprint
        |FROM h""".stripMargin
 
+  // q30 — multimodal metadata: binary payload + typed metadata + frame
+  // sampling plumbing (decode itself is stubbed; see ops/Multimodal).
+  val q30: Q = (s, d) => {
+    val bin = graft.ops.Multimodal.asBinaryTable(Views.table(s, d, "documents"))
+    graft.ops.Multimodal.frameSample(bin, stride = 16, maxFrames = 8)
+      .join(bin.select(col("doc_id"), col("meta.n_bytes").as("n_bytes")), "doc_id")
+      .select("doc_id", "n_bytes", "n_frames")
+  }
+
+  val q30Sql: String =
+    """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+      | CAST(len(text) AS BIGINT) AS n_bytes,
+      | CAST(least(CAST(ceil(len(text) / 16.0) AS INTEGER), 8) AS BIGINT) AS n_frames
+      |FROM documents""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q30_multimodal_meta" -> q30,
     "q19_tokenize" -> q19,
     "q20_dedup_exact" -> q20,
     "q21_minhash_lsh" -> q21,
@@ -197,6 +213,7 @@ object TextQueries {
     "q29_fingerprint" -> q29)
 
   val oracles: Map[String, String] = Map(
+    "q30_multimodal_meta" -> q30Sql,
     "q19_tokenize" -> q19Sql,
     "q20_dedup_exact" -> q20Sql,
     "q21_minhash_lsh" -> q21Sql,

@@ -73,4 +73,37 @@ object GffSource {
     */
   def attrsAsMap(df: DataFrame): DataFrame =
     df.withColumn("attr_map", expr("str_to_map(attrs, ';', '=')"))
+
+  /** S2 — BED region scan (reference: commands/intersect.rs:201-230):
+    * whitespace-split (chrom, start, end), half-open coords as-is, other
+    * columns ignored; malformed rows dropped (cast -> null -> filter).
+    */
+  def readBed(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .where(length(trim(col("value"))) > 0 && !col("value").startsWith("#"))
+      .withColumn("p", split(col("value"), "\\s+"))
+      .where(size(col("p")) >= 3)
+      .select(
+        col("p").getItem(0).as("seqid"),
+        col("p").getItem(1).cast("long").as("start"),
+        col("p").getItem(2).cast("long").as("end"))
+      .where(col("start").isNotNull && col("end").isNotNull && col("start") < col("end"))
+
+  /** S4 — single region literal `chr:start-end` (intersect.rs:172-198). */
+  def parseRegion(literal: String): (String, Long, Long) = {
+    val m = "^(.+):(\\d+)-(\\d+)$".r.findFirstMatchIn(literal)
+      .getOrElse(throw new IllegalArgumentException(s"bad region literal: $literal"))
+    val (s, e) = (m.group(2).toLong, m.group(3).toLong)
+    require(s < e, s"region start must be < end: $literal")
+    (m.group(1), s, e)
+  }
+
+  /** M5 — header passthrough: leading `#` lines (common.rs:131-143). */
+  def headerLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).where(col("value").startsWith("#"))
+
+  /** S11 — TSV result sink (coverage.rs:453-490, depth.rs:515-545). */
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("sep", "\t").option("header", "true").csv(path)
 }
