@@ -16,13 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def withNorm(df: DataFrame, embCol: String): DataFrame =
-    df.withColumn("__n2",
-      expr(s"aggregate($embCol, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+  import graft.functions.VectorOps.dot_f
 
-  private def cosExpr: String =
-    "aggregate(zip_with(qe, ne, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, " +
-      "(acc, v) -> acc + v) / sqrt(qn2 * nn2)"
+  private def withNorm(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("__n2", dot_f(col(embCol), col(embCol)))
+
+  private def cosCol =
+    dot_f(col("qe"), col("ne")) / sqrt(col("qn2") * col("nn2"))
 
   /** Exact top-k cosine neighbors for each query row (queries = a filtered
     * subset of the corpus; excludes self). O(|Q| * |corpus|) — the
@@ -35,7 +35,7 @@ object Similarity {
       .select(col(idCol).as("qid"), col(embCol).as("qe"), col("__n2").as("qn2"))
     val n = base.select(col(idCol).as("nid"), col(embCol).as("ne"), col("__n2").as("nn2"))
     val scored = q.join(n, col("qid") =!= col("nid"))
-      .withColumn("cos", expr(cosExpr))
+      .withColumn("cos", cosCol)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -64,7 +64,7 @@ object Similarity {
     val n = base.select(col(idCol).as("nid"), col(embCol).as("ne"), col("__n2").as("nn2"),
       col("__bkt").as("nb"))
     val scored = q.join(n, col("qb") === col("nb") && col("qid") =!= col("nid"))
-      .withColumn("cos", expr(cosExpr))
+      .withColumn("cos", cosCol)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
