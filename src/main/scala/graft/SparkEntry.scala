@@ -8,9 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * coverage/sampling), EventQueries (windowed feature engineering).
   */
 object SparkEntry {
-  /** Flagship: point-in-time as-of feature join on sf0.001 (north_rule). */
+  /** Flagship: assembled entity×timestamp feature rows — lag + rolling +
+    * backfill + session + point-in-time as-of in two shuffles (north_rule
+    * metric unit), on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.q05(spark, "/root/testdata/sf0.001")
+    EventQueries.q31(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
