@@ -60,6 +60,8 @@ object Dedup {
     val bands = sig.select(col(idCol),
       explode(expr(s"array(${bandExprs.mkString(", ")})")).as("band"))
       .select(col(idCol), col("band.j").as("j"), col("band.b").as("b"))
+    // the band table is ~k/r rows per doc and compact (hex strings): small
+    // enough that a broadcast build side wins — no join hint needed
     bands.as("a").join(bands.as("b"),
         col("a.j") === col("b.j") && col("a.b") === col("b.b") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -94,7 +96,10 @@ object Dedup {
       .select(col(idCol), expr(blockKeyExpr).as("blk"),
         explode(expr(s"array_distinct(split($textCol, ' '))")).as("w"))
     val sizes = words.groupBy(col(idCol)).agg(count(lit(1)).as("nw"))
-    val inter = words.as("a").join(words.as("b"),
+    // exploded word table inherits the (tiny) parquet scan's size estimate,
+    // so Catalyst would broadcast a multi-hundred-MB exploded side; force a
+    // shuffle merge join on (blk, w)
+    val inter = words.as("a").hint("shuffle_merge").join(words.as("b"),
         col("a.blk") === col("b.blk") && col("a.w") === col("b.w") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
