@@ -6,26 +6,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dedicated scaling-efficiency probe (north_rule: throughput scaling
-  * >= 0.8 from N to 4N executors; sandbox evidence = local[8] vs local[32]
+  * >= 0.8 from N to 4N executors; sandbox evidence = local[N] vs local[4N]
   * on identical input).
   *
-  * Measurement discipline: tmpfs shuffle dirs (no disk variance), fresh
-  * session per run, warmup excluded, MEDIAN of `reps` alternating runs.
+  * Measurement discipline (every clause below maps to a concrete artifact
+  * observed and fixed in rounds 1-2 — see BASELINE.md "methodology"):
+  *  - tmpfs shuffle dirs, DELETED before every run (a populated tmpfs from
+  *    a previous run steals page cache and skews the next arm);
+  *  - fresh SparkSession per run; arms ALTERNATE small/big so environment
+  *    drift spreads across both arms instead of biasing one;
+  *  - one FULL-SIZE warmup per arm (C2 JIT + codegen compile), excluded;
+  *  - reps >= 3 with a TRUE odd-count median (median-of-2 = max — the
+  *    round-1 bug that reported 0.28 for a 0.8-scaling job);
+  *  - raw per-run arrays always reported next to the medians;
+  *  - full-column xxhash64 checksum output action: Catalyst cannot prune
+  *    the feature columns the probe claims to measure, and the checksum
+  *    doubles as a cross-parallelism determinism check.
+  *
   * Two workloads spanning the engine's profile:
   *  - `window`: sessionize+backfill+lag/lead+rolling+as-of — shuffle/sort
-  *    bound (worst case for single-box strong scaling: all 32 threads
-  *    share one memory bus, unlike a real 4N-node cluster);
-  *  - `tokens`: tokenize+fingerprint+simhash-style hashing over generated
-  *    docs — compute bound (best case, embarrassingly parallel).
+  *    bound (worst case for single-box strong scaling: all threads share
+  *    one memory bus, unlike a real 4N-node cluster);
+  *  - `tokens`: tokenize+fingerprint+quality over generated docs —
+  *    compute bound (best case, embarrassingly parallel).
   */
 object ScalingBench {
 
+  /** Recursively delete a scratch dir (tmpfs spill hygiene between runs). */
+  def cleanDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
+
+  private def spillDir(cores: Int): String =
+    if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_spill_$cores"
+    else System.getProperty("java.io.tmpdir") + s"/graft_spill_$cores"
+
   /** Two deployment shapes for the N-vs-4N evidence:
-    *  - `local` (default): local[8] vs local[32] threads, one JVM;
-    *  - `cluster`: local-cluster[2,4,mem] vs local-cluster[8,4,mem] —
-    *    SEPARATE executor JVMs (2 vs 8 executors x 4 cores), shuffle over
-    *    netty, per-executor GC isolation. This is the literal north_rule
-    *    shape (4x the executors), not 4x the threads in one heap.
+    *  - `local` (default): local[N] vs local[4N] threads, one JVM;
+    *  - `cluster`: local-cluster[N/4,1,5g] — SEPARATE executor JVMs,
+    *    shuffle over netty, per-executor GC isolation. The literal
+    *    north_rule shape (4x the executors), not 4x the threads in a heap.
     * Fixed shuffle-partition count across arms: partitioning is a property
     * of the data layout, not the cluster size — otherwise the small arm
     * gets wider partitions, spills, and fakes super-linear "scaling".
@@ -34,9 +58,6 @@ object ScalingBench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "local")
-    // cluster mode: 1-core executors, N = cores/4 of them (2 vs 8) — the
-    // box has 32 cores, so even the 4N arm (8 executors + driver) is never
-    // CPU-oversubscribed; per-executor shape (1 core, 4g) is constant.
     val master =
       if (mode == "cluster") s"local-cluster[${cores / 4},1,5120]"
       else s"local[$cores]"
@@ -51,9 +72,7 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_spill_$cores"
-        else System.getProperty("java.io.tmpdir"))
+      .config("spark.local.dir", spillDir(cores))
     if (mode == "cluster") {
       // ship our compiled classes to the executor JVMs
       val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
@@ -63,7 +82,9 @@ object ScalingBench {
     b.getOrCreate()
   }
 
-  /** Shuffle/sort-bound: the flagship windowed feature-engineering job. */
+  /** Shuffle/sort-bound: the flagship windowed feature-engineering job
+    * (the fused single-WindowExec stack — see WindowFeatures.stack).
+    */
   def windowJob(spark: SparkSession, n: Long): Long = {
     val ev = Synth.events(spark, n, nEntities = 4096)
     val sess = WindowFeatures.sessionize(ev, gap = 1000L, tiebreak = "event_id")
@@ -131,42 +152,54 @@ object ScalingBench {
   def weak: Boolean = sys.env.getOrElse("SPARK_GRAFT_WEAK", "0") == "1"
 
   def measure(job: (SparkSession, Long) => Long, name: String, n: Long,
-      warmupN: Long, reps: Int): Result = {
+      reps: Int): Result = {
     val ratio = nBig / nSmall
-    def runsAt(cores: Int): Seq[(Long, Double)] = {
+    def runOnce(cores: Int, warm: Boolean): (Long, Double) = {
+      cleanDir(spillDir(cores))
       val s = session(cores)
       s.sparkContext.setLogLevel("WARN")
       val rows = if (weak && cores == nBig) n * ratio else n
       try {
-        // warmup at FULL size: JIT, codegen, buffer/heap shaping — the
-        // first full-scale run in a session is not representative
-        job(s, rows)
-        (1 to reps).map(_ => timed(job(s, rows)))
+        // one FULL-SIZE warmup per arm: JIT, codegen, buffer/heap shaping —
+        // the first full-scale run in a JVM is not representative
+        if (warm) job(s, rows)
+        timed(job(s, rows))
       } finally s.stop()
     }
-    // alternate to spread environment drift across both arms
-    val small = runsAt(nSmall)
-    val big = runsAt(nBig)
-    val small2 = runsAt(nSmall)
-    val big2 = runsAt(nBig)
+    // alternate arms (small, big, small, big, ...) so environment drift
+    // spreads across both arms; warmup only on each arm's first session
+    val samples = (1 to reps).map { i =>
+      (runOnce(nSmall, warm = i == 1), runOnce(nBig, warm = i == 1))
+    }
+    val small = samples.map(_._1)
+    val big = samples.map(_._2)
+    // true median: odd reps -> middle element; even reps -> mean of middle 2
     def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.length / 2)
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
     val rowsOut = small.head._1
-    if (!weak) require((small ++ big ++ small2 ++ big2).forall(_._1 == rowsOut),
+    if (!weak) require((small ++ big).forall(_._1 == rowsOut),
       "runs diverged across parallelism levels")
     Result(name, n, rowsOut,
-      median((small ++ small2).map(_._2)), median((big ++ big2).map(_._2)),
-      (small ++ small2).map(_._2), (big ++ big2).map(_._2))
+      median(small.map(_._2)), median(big.map(_._2)),
+      small.map(_._2), big.map(_._2))
   }
 
+  /** Standalone main: run one or both probes and print `SCALING {json}`
+    * lines. `SPARK_GRAFT_SCALE_JOB` = window | tokens | all. Bench spawns
+    * this in a FRESH JVM per job so the 160-s query sweep's heap/GC state
+    * can't contaminate the measurement (the round-1 failure mode).
+    */
   def main(args: Array[String]): Unit = {
     val nWin = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
-    val nTok = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt
-    val w = measure(windowJob, "window_features_asof", nWin, nWin / 50, reps)
-    println(s"SCALING ${w.json}")
-    val t = measure(tokenJob, "tokenize_fingerprint_quality", nTok, nTok / 50, reps)
-    println(s"SCALING ${t.json}")
+    val nTok = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val which = sys.env.getOrElse("SPARK_GRAFT_SCALE_JOB", "all")
+    if (which == "all" || which == "window")
+      println(s"SCALING ${measure(windowJob, "window_features_asof", nWin, reps).json}")
+    if (which == "all" || which == "tokens")
+      println(s"SCALING ${measure(tokenJob, "tokenize_fingerprint_quality", nTok, reps).json}")
   }
 }

@@ -77,10 +77,32 @@ object GffOps {
         sort_array(collect_list(col("probe_id"))).as("probe_ids"))
   }
 
+  /** Per-line re-check predicate for `mode` over feature (start, end) vs
+    * probe (q_start, q_end) — the same three-mode semantics as
+    * [[IntervalJoin.predicate]], applied line-by-line (intersect.rs:500-517).
+    */
+  private def lineModePredicate(mode: OverlapMode) = mode match {
+    case graft.ops.Overlap =>
+      col("start") < col("q_end") && col("end") > col("q_start")
+    case graft.ops.Contained =>
+      col("start") >= col("q_start") && col("end") <= col("q_end")
+    case graft.ops.ContainsRegion =>
+      col("start") <= col("q_start") && col("end") >= col("q_end")
+  }
+
   /** intersect: probe regions against the root-interval table (J1), mode +
     * invert (P3/P4), then either matched groups' full rows ("entire-group",
     * intersect.rs:647-652) or per-feature re-checked rows ("match-only",
     * intersect.rs:232-438).
+    *
+    * Invert is candidate-level XOR, matching intersect.rs:137-164: the tree
+    * probe yields OVERLAP candidates, and `invert ^ keep(mode)` decides per
+    * candidate — so invert+Overlap yields nothing and invert+Contained
+    * yields groups that overlap some probe without being contained in it
+    * (NOT the global no-match complement; that is [[IntervalJoin.invert]]).
+    *
+    * A non-empty `types` filter forces the per-line re-check path, like the
+    * reference's filtered output (intersect.rs:232-438, common.rs:289-465).
     */
   def intersect(t: IndexTables, regions: DataFrame, mode: OverlapMode,
       invert: Boolean = false, matchOnly: Boolean = false,
@@ -89,21 +111,21 @@ object GffOps {
     val ivs = t.intervals.select(col("entity_id").as("entity"), col("start"),
       col("end"), col("root_fid"))
     if (invert) {
-      val matched = IntervalJoin.join(probes, ivs, mode)
+      // overlap candidates, kept iff the mode predicate FAILS (invert ^ keep)
+      val keep = IntervalJoin.join(probes, ivs, graft.ops.Overlap)
+        .where(!IntervalJoin.predicate(mode))
         .select(col("root_fid")).distinct()
-      val allRoots = ivs.select("root_fid").distinct()
-      val keep = allRoots.join(matched, Seq("root_fid"), "left_anti")
       t.features.join(keep, "root_fid").orderBy(col("line_no"))
     } else {
       val hits = IntervalJoin.join(probes, ivs, mode)
       val roots = hits.select(col("root_fid")).distinct()
       val rows = t.features.join(roots, "root_fid")
-      val out0 = if (matchOnly) {
-        // re-check overlap per feature line (intersect.rs:301-307)
+      val out0 = if (matchOnly || types.nonEmpty) {
+        // re-check each line with the SELECTED mode (intersect.rs:500-517)
         val q = probes.select(col("entity").as("entity_id"),
           col("start").as("q_start"), col("end").as("q_end"))
         rows.join(q, Seq("entity_id"))
-          .where(col("start") < col("q_end") && col("end") > col("q_start"))
+          .where(lineModePredicate(mode))
           .drop("q_start", "q_end").dropDuplicates("fid")
       } else rows
       val out = if (types.nonEmpty) out0.where(col("ftype").isin(types: _*)) else out0

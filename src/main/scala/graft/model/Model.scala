@@ -68,7 +68,7 @@ object Synth {
       .withColumn("entity", format_string("e%02d", pmod(xxhash64(col("id"), lit(seed + 3)), lit(nEntities.toLong)).cast("int")))
       .withColumn("start", pmod(h1, lit(coordRange)))
       .withColumn("end", col("start") + 1 + pmod(h2, lit(200L)))
-      .withColumn("group_id", col("id") / 4) // ~4 features per group
+      .withColumn("group_id", expr("id DIV 4")) // ~4 features per group (integer division; `/` would be a per-row-unique DOUBLE)
       .withColumn("ftype",
         element_at(array(lit("gene"), lit("mRNA"), lit("exon"), lit("CDS")),
           (pmod(h2, lit(4)) + 1).cast("int")))

@@ -186,8 +186,11 @@ object IntervalJoin {
     }(Encoders.row(outSchema))
   }
 
-  /** Invert (`-I`): probes with NO match under `mode`
-    * (reference: XOR invert, src/commands/intersect.rs:66-69,160-163).
+  /** Invert: probes with NO match under `mode` — the GLOBAL complement.
+    * Deliberately different from the reference's candidate-level XOR invert
+    * (src/commands/intersect.rs:137-164, implemented faithfully in
+    * GffOps.intersect): this is the "rows not covered by any feature"
+    * selection a pipeline uses to split a corpus.
     */
   def invert(probes: DataFrame, feats: DataFrame, mode: OverlapMode,
       probeKeys: Seq[String], binSize: Long = 8192L): DataFrame = {

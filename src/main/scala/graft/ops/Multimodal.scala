@@ -61,8 +61,11 @@ object Multimodal {
     * video frames / audio windows), as a bounded-length binary.
     */
   def frameSample(bin: DataFrame, stride: Int, maxFrames: Int = 32): DataFrame =
+    // empty payloads need an explicit branch: sequence(1, 0) is DESCENDING
+    // ([1,0]), which would fabricate 2 frames for a 0-byte document
     bin.select(col("doc_id"),
-      expr(s"transform(sequence(1, least(CAST(ceil(length(payload) / ${stride}.0) AS INT), $maxFrames)), " +
-        s"i -> substring(payload, (i - 1) * $stride + 1, 1))").as("frames"))
+      expr(s"CASE WHEN length(payload) = 0 THEN CAST(array() AS ARRAY<BINARY>) " +
+        s"ELSE transform(sequence(1, least(CAST(ceil(length(payload) / ${stride}.0) AS INT), $maxFrames)), " +
+        s"i -> substring(payload, (i - 1) * $stride + 1, 1)) END").as("frames"))
       .withColumn("n_frames", size(col("frames")).cast("long"))
 }

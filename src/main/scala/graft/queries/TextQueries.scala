@@ -18,12 +18,22 @@ object TextQueries {
     s"list_reduce(list_prepend(0, generate_series(1, len($w))), " +
       s"(acc, i) -> acc * 31 + ascii(substring($w, i, 1)))"
 
-  // q19 — documents -> input_hint table (doc_id string, tokens array<int32>, n_tok, source).
-  val q19: Q = (s, d) => TextOps.tokenize(Views.table(s, d, "documents"))
+  // q19 — documents -> input_hint table (doc_id string, tokens array<int32>,
+  // n_tok, source). TextOps.tokenize emits the true input_hint shape; the
+  // COMPARABLE projection is array-free (md5 over the joined token list)
+  // because the driver's pandas canonicalizer cannot sort array columns
+  // (CORRECTNESS_r01 q19: "unhashable type: numpy.ndarray").
+  val q19: Q = (s, d) =>
+    TextOps.tokenize(Views.table(s, d, "documents"))
+      .select(col("doc_id"),
+        expr("md5(concat_ws(',', transform(tokens, t -> CAST(t AS STRING))))")
+          .as("tokens_md5"),
+        col("n_tok"), col("source"))
 
   val q19Sql: String =
     s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-       | list_transform(string_split(text, ' '), w -> CAST(${dwh("w")} % 50257 AS INTEGER)) AS tokens,
+       | md5(array_to_string(list_transform(string_split(text, ' '),
+       |   w -> CAST(CAST(${dwh("w")} % 50257 AS INTEGER) AS VARCHAR)), ',')) AS tokens_md5,
        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
        | source
        |FROM documents""".stripMargin

@@ -97,9 +97,14 @@ class GffIndexSpec extends SparkSpec {
     assert(hit == Set("gene1", "rna1", "ex1", "ex2"))
     val cont = GffOps.intersect(idx, regions, Contained).count()
     assert(cont == 0, "gene1 interval [99,500) not contained in [150,350)")
-    val inv = GffOps.intersect(idx, regions, Overlap, invert = true)
+    // invert is candidate-level XOR (intersect.rs:137-164): candidates come
+    // from the OVERLAP tree probe, kept iff the mode predicate fails — so
+    // invert+Overlap is empty by construction, and invert+Contained keeps
+    // the overlapping-but-not-contained group (gene1's [99,500) vs [150,350))
+    assert(GffOps.intersect(idx, regions, Overlap, invert = true).count() == 0)
+    val invContained = GffOps.intersect(idx, regions, Contained, invert = true)
       .select("id").as[String].collect().toSet
-    assert(inv.contains("gene2") && inv.contains("gene3") && !inv.contains("gene1"))
+    assert(invContained == Set("gene1", "rna1", "ex1", "ex2"))
     // match-only on a narrower region: ex2 [299,500) does NOT overlap [150,250)
     val narrow = Seq((0L, 150L, 250L)).toDF("entity_id", "start", "end")
     val matchOnly = GffOps.intersect(idx, narrow, Overlap, matchOnly = true)
