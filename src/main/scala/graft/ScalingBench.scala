@@ -87,12 +87,9 @@ object ScalingBench {
     */
   def windowJob(spark: SparkSession, n: Long): Long = {
     val ev = Synth.events(spark, n, nEntities = 4096)
-    val sess = WindowFeatures.sessionize(ev, gap = 1000L, tiebreak = "event_id")
-    val feat = WindowFeatures.rolling(
-      WindowFeatures.backfill(
-        WindowFeatures.lagLead(sess, "value", Seq(1, 2), tiebreak = "event_id"),
-        "value", tiebreak = "event_id"),
-      "event_time", 8, tiebreak = "event_id")
+    val feat = WindowFeatures.stack(ev, lagCol = "value", lagOffsets = Seq(1, 2),
+      backfillCol = "value", rollCol = "event_time", rollN = 8, gap = 1000L,
+      tiebreak = "event_id")
     val dim = Synth.events(spark, n / 16, nEntities = 4096, seed = 99L)
       .groupBy(col("entity"), col("event_time").as("t"))
       .agg(max("value").as("dim_v"))
@@ -160,9 +157,13 @@ object ScalingBench {
       s.sparkContext.setLogLevel("WARN")
       val rows = if (weak && cores == nBig) n * ratio else n
       try {
-        // one FULL-SIZE warmup per arm: JIT, codegen, buffer/heap shaping —
-        // the first full-scale run in a JVM is not representative
-        if (warm) job(s, rows)
+        // TWO full-size warmups on each arm's first session: C2 JIT tiering
+        // compounds over several executions (observed drift 66->29->21 s
+        // with a single warmup), and buffer/heap shaping needs full scale
+        if (warm) { job(s, rows); job(s, rows) }
+        // measured run starts from a collected heap: warmup garbage
+        // otherwise bleeds G1 mixed-collection pauses into the measurement
+        System.gc()
         timed(job(s, rows))
       } finally s.stop()
     }

@@ -28,28 +28,35 @@ object Dedup {
       .select(idCol, "dup_key", "group_size", "is_canonical")
   }
 
-  /** Char n-gram shingles of a text column, exploded + distinct per doc. */
+  /** Char n-gram shingles of a text column, deduplicated PER DOC inside the
+    * array before the explode — per-doc set semantics with ZERO pre-agg
+    * shuffle (the round-1 version ran a global `.distinct()` over the
+    * exploded table: a full shuffle of every shingle row).
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol),
-      explode(expr(s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), " +
-        s"i -> substring($textCol, i, $n))")).as("s"))
-      .distinct()
+      explode(expr(s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), " +
+        s"i -> substring($textCol, i, $n)))")).as("s"))
 
-  /** MinHash signatures: k independent hashes h_i(doc) = min(md5(i ':' s))
-    * over the doc's shingle set. md5 is identical in Spark and DuckDB, so
-    * signatures are engine-portable. One explode + one groupBy (partial agg
-    * does the mins map-side).
+  /** One 32-bit minhash lane: slice i of the salted md5 (4 lanes per md5
+    * call — the standard one-hash slicing trick; lanes of a cryptographic
+    * hash are independent functions of the shingle). k lanes cost
+    * ceil(k/4) md5 evaluations per shingle instead of k.
+    */
+  private def mhLane(i: Int) =
+    min(substring(md5(concat(lit(s"${i / 4}:"), col("s"))), (i % 4) * 8 + 1, 8))
+
+  /** MinHash signatures: k 32-bit hash lanes h_i(doc) = min over the doc's
+    * shingle set. md5 is identical in Spark and DuckDB, so signatures are
+    * engine-portable. One explode + one groupBy (partial agg does the mins
+    * map-side — only k values per doc cross the wire).
     */
   def minHashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame =
     sh.groupBy(col(idCol))
-      .agg(min(md5(concat(lit("0:"), col("s")))).as("mh0"),
-        (1 until k).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i")): _*)
+      .agg(mhLane(0).as("mh0"), (1 until k).map(i => mhLane(i).as(s"mh$i")): _*)
 
-  /** LSH candidate pairs: band j = concat of r consecutive minhashes;
-    * docs sharing any band are candidates. Returns distinct (da < db).
-    */
-  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, k: Int = 8, r: Int = 2): DataFrame = {
+  private def bandTable(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, r: Int): DataFrame = {
     require(k % r == 0)
     val sig = minHashSignatures(shingles(df, idCol, textCol, shingleN), idCol, k)
     val nBands = k / r
@@ -57,17 +64,41 @@ object Dedup {
       val c = (0 until r).map(q => s"mh${j * r + q}").mkString("concat(", ", ", ")")
       s"struct(${j}L AS j, $c AS b)"
     }
-    val bands = sig.select(col(idCol),
+    sig.select(col(idCol),
       explode(expr(s"array(${bandExprs.mkString(", ")})")).as("band"))
       .select(col(idCol), col("band.j").as("j"), col("band.b").as("b"))
-    // the band table is ~k/r rows per doc and compact (hex strings): small
-    // enough that a broadcast build side wins — no join hint needed
-    bands.as("a").join(bands.as("b"),
+  }
+
+  /** LSH candidate pairs: band j = concat of r consecutive minhash lanes;
+    * docs sharing any band are candidates. Returns distinct (da < db).
+    *
+    * Hot-bucket cap (`maxBucket`): a band value shared by more docs is
+    * non-discriminative (near-universal shingles — empty/boilerplate docs)
+    * and would make one reducer O(b^2); such buckets are dropped
+    * DETERMINISTICALLY — same rule on the oracle side — and are auditable
+    * via [[droppedBands]], not silently vanished.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, k: Int = 8, r: Int = 2, maxBucket: Int = 128): DataFrame = {
+    val bands = bandTable(df, idCol, textCol, shingleN, k, r)
+    val capped = bands
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("j"), col("b"))))
+      .where(col("__bn") <= maxBucket).drop("__bn")
+    capped.as("a").join(capped.as("b"),
         col("a.j") === col("b.j") && col("a.b") === col("b.b") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
       .distinct()
   }
+
+  /** Audit table for the [[minHashLshPairs]] bucket cap: every dropped
+    * band bucket with its population (no silent truncation).
+    */
+  def droppedBands(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, k: Int = 8, r: Int = 2, maxBucket: Int = 128): DataFrame =
+    bandTable(df, idCol, textCol, shingleN, k, r)
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > maxBucket)
 
   /** SimHash: `bits`-bit signature; bit j votes +1/-1 per word occurrence
     * from bit j of the word's md5 (hex digits -> 4 bits each). Near-dup
@@ -89,12 +120,21 @@ object Dedup {
   /** Exact word-set Jaccard for all pairs within a blocking key (same
     * block -> candidate). inter/union are exact ints; the division is one
     * IEEE op — bit-identical across engines.
+    *
+    * Block-size cap (`maxBlock`): the all-pairs verify inside a block is
+    * O(b^2); blocks with more than `maxBlock` docs (a degenerate prefix —
+    * boilerplate/empty documents) are dropped deterministically on both
+    * engines BEFORE the word explode, bounding any reducer's work.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockKeyExpr: String): DataFrame = {
-    val words = df
-      .select(col(idCol), expr(blockKeyExpr).as("blk"),
-        explode(expr(s"array_distinct(split($textCol, ' '))")).as("w"))
+      blockKeyExpr: String, maxBlock: Int = 64): DataFrame = {
+    val base = df.select(col(idCol), expr(blockKeyExpr).as("blk"), col(textCol).as("__txt"))
+    val capped = base
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .where(col("__bn") <= maxBlock)
+    val words = capped
+      .select(col(idCol), col("blk"),
+        explode(expr("array_distinct(split(__txt, ' '))")).as("w"))
     val sizes = words.groupBy(col(idCol)).agg(count(lit(1)).as("nw"))
     // exploded word table inherits the (tiny) parquet scan's size estimate,
     // so Catalyst would broadcast a multi-hundred-MB exploded side; force a

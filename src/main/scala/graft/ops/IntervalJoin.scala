@@ -69,10 +69,36 @@ object IntervalJoin {
         payload.map(col)): _*)
   }
 
-  /** Auto path: broadcast if the feature side is tiny, else binned. */
+  /** Plan-stats ceiling for considering a side broadcastable, and the hard
+    * row cap actually enforced (by an exact count job) before any
+    * driver-side collect. NOTHING unbounded is ever collected: at 100 TB
+    * both sides blow the stats ceiling and the join stays binned.
+    */
+  private val BroadcastMaxPlanBytes = BigInt(256L * 1024 * 1024)
+  private val BroadcastMaxRows = 1000000L
+
+  private def planBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Auto path: broadcast the PROVABLY small side — plan-statistics
+    * prefilter, then an exact count of the candidate side(s) (one cheap
+    * aggregate job each) — else binned. The decision is eager (runs the
+    * count jobs at plan-construction time), like the reference's
+    * index-vs-scan choice at query open (intersect.rs:104-133).
+    */
   def join(probes: DataFrame, feats: DataFrame, mode: OverlapMode = Overlap,
-      binSize: Long = 8192L): DataFrame =
-    binnedJoin(probes, feats, mode, binSize)
+      binSize: Long = 8192L): DataFrame = {
+    val pSmall = planBytes(probes) <= BroadcastMaxPlanBytes
+    val fSmall = planBytes(feats) <= BroadcastMaxPlanBytes
+    if (!pSmall && !fSmall) binnedJoin(probes, feats, mode, binSize)
+    else {
+      val pCnt = if (pSmall) probes.count() else Long.MaxValue
+      val fCnt = if (fSmall) feats.count() else Long.MaxValue
+      if (math.min(pCnt, fCnt) > BroadcastMaxRows) binnedJoin(probes, feats, mode, binSize)
+      else if (pCnt <= fCnt) broadcastJoinProbeSide(probes, feats, mode)
+      else broadcastJoin(probes, feats, mode)
+    }
+  }
 
   /** Path 2 — binned/salted equi-join. Pure Catalyst; codegen end-to-end. */
   def binnedJoin(probes: DataFrame, feats: DataFrame, mode: OverlapMode,
@@ -88,67 +114,131 @@ object IntervalJoin {
       .drop("__bin")
   }
 
-  /** Path 1 — broadcast per-entity interval index + probe-side mapPartitions.
-    * The feature side must fit in driver/executor memory (like the
-    * reference's whole-index mmap, src/utils/tree_index.rs:21-34).
+  /** Path 1 — broadcast per-entity interval index of the FEATURE side +
+    * probe-side mapPartitions (like the reference's whole-index mmap,
+    * src/utils/tree_index.rs:21-34). Guarded: refuses to collect a side
+    * whose exact row count exceeds the broadcast cap — use [[join]] (auto)
+    * or [[binnedJoin]] for two big sides.
     */
-  def broadcastJoin(probes: DataFrame, feats: DataFrame, mode: OverlapMode): DataFrame = {
-    val spark = probes.sparkSession
-    val p = prep(probes, "p")
-    val f = prep(feats, "f")
-    val fSchema = f.schema
-    val fRows: Array[Row] = f.collect()
+  def broadcastJoin(probes: DataFrame, feats: DataFrame, mode: OverlapMode): DataFrame =
+    broadcastImpl(prep(probes, "p"), prep(feats, "f"), mode, buildIsFeature = true)
+
+  /** Path 1 swapped — broadcast the PROBE side, stream the feature side
+    * (the reference's small-query-list shape, intersect.rs:172-230: a
+    * handful of regions against a huge corpus — zero shuffle of the corpus).
+    */
+  def broadcastJoinProbeSide(probes: DataFrame, feats: DataFrame, mode: OverlapMode): DataFrame =
+    broadcastImpl(prep(probes, "p"), prep(feats, "f"), mode, buildIsFeature = false)
+
+  private def broadcastImpl(p: DataFrame, f: DataFrame, mode: OverlapMode,
+      buildIsFeature: Boolean): DataFrame = {
+    val build = if (buildIsFeature) f else p
+    val stream = if (buildIsFeature) p else f
+    val spark = stream.sparkSession
+    require(build.count() <= BroadcastMaxRows,
+      s"broadcast side exceeds $BroadcastMaxRows rows; use binnedJoin/join(auto)")
+    val bRows: Array[Row] = build.collect()
     val byEntity: Map[Any, IntervalIndex] =
-      fRows.indices.groupBy(i => fRows(i).get(0)).map { case (e, idxs) =>
-        e -> IntervalIndex.build(idxs.map(i => (fRows(i).getLong(1), fRows(i).getLong(2), i)).toArray)
+      bRows.indices.groupBy(i => bRows(i).get(0)).map { case (e, idxs) =>
+        e -> IntervalIndex.build(idxs.map(i => (bRows(i).getLong(1), bRows(i).getLong(2), i)).toArray)
       }
-    val bc = spark.sparkContext.broadcast((fRows, byEntity))
-    val outSchema = StructType(p.schema.fields ++ fSchema.fields.drop(1))
-    p.mapPartitions { it =>
+    val bc = spark.sparkContext.broadcast((bRows, byEntity))
+    // output layout is ALWAYS probe columns then feature payload
+    val outSchema = StructType(p.schema.fields ++ f.schema.fields.drop(1))
+    stream.mapPartitions { it =>
       val (rows, idx) = bc.value
-      it.flatMap { pr =>
-        idx.get(pr.get(0)) match {
+      it.flatMap { sr =>
+        idx.get(sr.get(0)) match {
           case None => Iterator.empty[Row]
           case Some(ix) =>
-            val ps = pr.getLong(1); val pe = pr.getLong(2)
-            val cands = mode match {
-              case ContainsRegion => ix.queryPoint(ps)
-              case _              => ix.queryRange(ps, pe)
+            val ss = sr.getLong(1); val se = sr.getLong(2)
+            // candidate superset from the index, exact-filtered by modeOk:
+            //  - streaming probes (build = features): a feature CONTAINING
+            //    the region must contain its start -> point probe;
+            //  - streaming features (build = probes): a probe containing the
+            //    feature must contain the feature's start -> point probe.
+            val cands = (mode, buildIsFeature) match {
+              case (ContainsRegion, true) => ix.queryPoint(ss)
+              case (Contained, false)     => ix.queryPoint(ss)
+              case _                      => ix.queryRange(ss, se)
             }
             cands.iterator
-              .filter(i => modeOk(mode, ps, pe, rows(i).getLong(1), rows(i).getLong(2)))
-              .map(i => Row.fromSeq(pr.toSeq ++ rows(i).toSeq.drop(1)))
+              .filter { i =>
+                val br = rows(i)
+                if (buildIsFeature) modeOk(mode, ss, se, br.getLong(1), br.getLong(2))
+                else modeOk(mode, br.getLong(1), br.getLong(2), ss, se)
+              }
+              .map { i =>
+                val br = rows(i)
+                if (buildIsFeature) Row.fromSeq(sr.toSeq ++ br.toSeq.drop(1))
+                else Row.fromSeq(br.toSeq ++ sr.toSeq.drop(1))
+              }
         }
       }
     }(Encoders.row(outSchema))
   }
 
-  /** Path 3 — union-tag plane sweep inside entity-hash partitions. */
-  def sweepJoin(probes: DataFrame, feats: DataFrame, mode: OverlapMode): DataFrame = {
+  /** Path 3 — range-binned plane sweep. Both sides explode into coordinate
+    * bins sized FROM THE DATA (>= the max interval length on either side,
+    * so replication <= 2 rows per interval), hash-partitioned on
+    * (entity, bin): parallelism scales with entity x coordinate range, not
+    * entity cardinality (the round-1 version hashed whole entities — 16
+    * entities left half of 32 cores idle). Within each (entity, bin) group
+    * one __s-ordered pass keeps active lists — O(n + k) per group, the
+    * reference's two-pointer sweep (src/commands/coverage.rs:336-362) —
+    * and a pair is emitted ONLY in its intersection-start bin
+    * (exactly-once, no dedup shuffle; same trick as binnedJoin).
+    *
+    * `binSize` 0 derives the width from two cheap max-length aggregates;
+    * pass it explicitly to skip those scans (e.g. from parquet stats).
+    */
+  def sweepJoin(probes: DataFrame, feats: DataFrame, mode: OverlapMode,
+      binSize: Long = 0L): DataFrame = {
     val p = prep(probes, "p")
     val f = prep(feats, "f")
+    val width =
+      if (binSize > 0) binSize
+      else {
+        val mp = p.agg(max(col("p_end") - col("p_start"))).collect()(0)
+        val mf = f.agg(max(col("f_end") - col("f_start"))).collect()(0)
+        val m1 = if (mp.isNullAt(0)) 0L else mp.getLong(0)
+        val m2 = if (mf.isNullAt(0)) 0L else mf.getLong(0)
+        // floor keeps tiny-interval data from creating millions of
+        // near-empty groups; a single giant interval degrades gracefully
+        // toward the per-entity sweep
+        math.max(math.max(m1, m2), 4096L)
+      }
     val pPay = p.columns.drop(1) // p_start, p_end, payload...
     val fPay = f.columns.drop(1)
     val pStructT = StructType(p.schema.fields.drop(1))
     val fStructT = StructType(f.schema.fields.drop(1))
-    val pu = p.select(col("entity"), col("p_start").as("__s"),
+    val pu = p.select(col("entity"),
+      explode(sequence(expr(s"p_start DIV ${width}L"), expr(s"(p_end - 1) DIV ${width}L"))).as("__bin"),
+      col("p_start").as("__s"),
       struct(pPay.map(col): _*).as("__p"), lit(null).cast(fStructT).as("__f"))
-    val fu = f.select(col("entity"), col("f_start").as("__s"),
+    val fu = f.select(col("entity"),
+      explode(sequence(expr(s"f_start DIV ${width}L"), expr(s"(f_end - 1) DIV ${width}L"))).as("__bin"),
+      col("f_start").as("__s"),
       lit(null).cast(pStructT).as("__p"), struct(fPay.map(col): _*).as("__f"))
     val u = pu.unionByName(fu)
-      .repartition(col("entity"))
-      .sortWithinPartitions(col("entity"), col("__s"))
+      .repartition(col("entity"), col("__bin"))
+      .sortWithinPartitions(col("entity"), col("__bin"), col("__s"))
     val outSchema = StructType(p.schema.fields ++ f.schema.fields.drop(1))
     val m = mode
+    val wBin = width
     u.mapPartitions { it =>
       var curEntity: Any = null
+      var curBin: Long = Long.MinValue
       // actives: (start, end, payloadRow), start-sorted by arrival
       val activeP = new ArrayBuffer[(Long, Long, Row)]()
       val activeF = new ArrayBuffer[(Long, Long, Row)]()
       it.flatMap { r =>
         val e = r.get(0)
-        if (e != curEntity) { curEntity = e; activeP.clear(); activeF.clear() }
-        val pr = if (r.isNullAt(2)) null else r.getStruct(2)
+        val b = r.getLong(1)
+        if (e != curEntity || b != curBin) {
+          curEntity = e; curBin = b; activeP.clear(); activeF.clear()
+        }
+        val pr = if (r.isNullAt(3)) null else r.getStruct(3)
         val out = new ArrayBuffer[Row]()
         if (pr != null) {
           val ps = pr.getLong(0); val pe = pr.getLong(1)
@@ -158,7 +248,11 @@ object IntervalJoin {
           while (i < activeF.length) {
             val (fs, fe, frow) = activeF(i)
             if (fe > ps) { // still live: fs <= ps (sorted), so live == overlapping
-              if (modeOk(m, ps, pe, fs, fe)) out += Row.fromSeq(e +: (pr.toSeq ++ frow.toSeq))
+              // emit only in the intersection-start bin (exactly-once
+              // across the bins a replicated pair co-occurs in); same
+              // truncating division as the sequence() bin assignment
+              if ((if (ps > fs) ps else fs) / wBin == b && modeOk(m, ps, pe, fs, fe))
+                out += Row.fromSeq(e +: (pr.toSeq ++ frow.toSeq))
               activeF(w) = activeF(i); w += 1
             }
             i += 1
@@ -166,14 +260,15 @@ object IntervalJoin {
           activeF.dropRightInPlace(activeF.length - w)
           activeP += ((ps, pe, pr))
         } else {
-          val frow = r.getStruct(3)
+          val frow = r.getStruct(4)
           val fs = frow.getLong(0); val fe = frow.getLong(1)
           var w = 0
           var i = 0
           while (i < activeP.length) {
             val (ps, pe, prow) = activeP(i)
             if (pe > fs) {
-              if (modeOk(m, ps, pe, fs, fe)) out += Row.fromSeq(e +: (prow.toSeq ++ frow.toSeq))
+              if ((if (ps > fs) ps else fs) / wBin == b && modeOk(m, ps, pe, fs, fe))
+                out += Row.fromSeq(e +: (prow.toSeq ++ frow.toSeq))
               activeP(w) = activeP(i); w += 1
             }
             i += 1

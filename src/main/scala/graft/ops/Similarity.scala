@@ -44,16 +44,62 @@ object Similarity {
 
   /** Bit signature from fixed coordinate comparisons: bit j = 1 iff
     * emb[p_j] > emb[q_j] for deterministic index pairs — a data-independent
-    * LSH family (sign tests), no floats created, fully portable.
+    * LSH family (sign tests), no floats created, fully portable. `offset`
+    * shifts the pair schedule so multiple bands draw INDEPENDENT bits.
     */
-  def lshBucketExpr(embCol: String, bits: Int, dim: Int): String =
+  def lshBucketExpr(embCol: String, bits: Int, dim: Int, offset: Int = 0): String =
     (0 until bits).map { j =>
-      val p = (j * 7) % dim + 1
-      val q = (j * 13 + 3) % dim + 1
+      val gi = offset + j
+      val p = (gi * 7) % dim + 1
+      val q = (gi * 13 + 3) % dim + 1
       s"(CASE WHEN element_at($embCol, $p) > element_at($embCol, $q) THEN ${1L << j}L ELSE 0L END)"
     }.mkString(" + ")
 
-  /** ANN: top-k cosine within the query's LSH bucket only. */
+  /** Banded (multi-table) ANN — the scale path. `nBands` independent
+    * `bandBits`-bit sign-test tables; candidates = union over tables of
+    * same-bucket pairs (OR-construction: recall for a neighbor whose
+    * per-bit agreement probability is p is 1-(1-p^b)^g). Band rows are
+    * NARROW (id, table, bucket) — the embedding vectors are fetched by id
+    * AFTER the candidate pairs are deduplicated, so the g-fold explode
+    * never carries payload through the shuffle. At 1000 executors the
+    * (table, bucket) pair is the shuffle key; each bucket is a small local
+    * problem, and b/g trade bucket sharpness against recall (measured
+    * against the exact baseline by q37 / BASELINE.md — on THIS corpus the
+    * neighbor/random sign-agreement margin is small because the synthetic
+    * embeddings are isotropic; clustered real-world embeddings sharpen
+    * both recall and pruning at the same parameters).
+    */
+  def cosineKnnLshBanded(corpus: DataFrame, idCol: String, embCol: String,
+      queryPred: String, k: Int, bandBits: Int = 4, nBands: Int = 12,
+      dim: Int = 64): DataFrame = {
+    val base = withNorm(corpus, embCol)
+    def bands(df: DataFrame, outId: String): DataFrame = {
+      val structs = (0 until nBands).map { g =>
+        s"struct(${g}L AS g, (${lshBucketExpr(embCol, bandBits, dim, g * bandBits)}) AS bkt)"
+      }
+      df.select(col(idCol).as(outId),
+        explode(expr(s"array(${structs.mkString(", ")})")).as("__band"))
+        .select(col(outId), col("__band.g").as("g"), col("__band.bkt").as("bkt"))
+    }
+    val qb = bands(base.where(expr(queryPred)), "qid")
+    val nb = bands(base, "nid")
+    val pairs = qb.join(nb, Seq("g", "bkt"))
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val qe = base.where(expr(queryPred))
+      .select(col(idCol).as("qid"), col(embCol).as("qe"), col("__n2").as("qn2"))
+    val ne = base.select(col(idCol).as("nid"), col(embCol).as("ne"), col("__n2").as("nn2"))
+    val scored = pairs.join(qe, "qid").join(ne, "nid").withColumn("cos", cosCol)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+  }
+
+  /** ANN: top-k cosine within the query's single LSH bucket only (the
+    * sharpest/cheapest variant; see [[cosineKnnLshBanded]] for the
+    * recall-controlled scale path).
+    */
   def cosineKnnLsh(corpus: DataFrame, idCol: String, embCol: String,
       queryPred: String, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
     val base = withNorm(corpus, embCol)

@@ -80,6 +80,47 @@ object WindowFeatures {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("vsum"),
         min(col(valueCol)).as("vmin"), max(col(valueCol)).as("vmax"))
 
+  /** Fused feature stack: every independent per-entity window feature —
+    * lag/lead offsets, backfill (LOCF), rolling aggregates, the session
+    * break's `lag(time)` — in ONE select, so the analyzer emits ONE logical
+    * Window node (same partition/order spec; frames may differ within a
+    * node) and the physical plan is a single WindowExec buffering each
+    * partition ONCE. A second, dependent window computes the session id
+    * (running sum over the lag-derived break flag). Net: one sort + 2
+    * WindowExec instead of the 4-5 produced by composing the individual
+    * operators — WindowExec's per-operator UnsafeRow buffer copy is the
+    * measured single-box scaling ceiling (BASELINE.md: jstack shows all
+    * workers in Platform.copyMemory under WindowExec at 8->32 threads).
+    *
+    * Output columns and values are IDENTICAL to composing
+    * lagLead(lagOffsets) . backfill(backfillCol) . rolling(rollCol, rollN)
+    * . sessionize(gap).
+    */
+  def stack(df: DataFrame, lagCol: String, lagOffsets: Seq[Int], backfillCol: String,
+      rollCol: String, rollN: Int, gap: Long,
+      entity: String = "entity", time: String = "event_time", tiebreak: String = ""): DataFrame = {
+    val w = spec(entity, time, tiebreak)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val roll = w.rowsBetween(-(rollN - 1).toLong, 0)
+    val lagLeadCols = lagOffsets.flatMap { k =>
+      Seq(lag(col(lagCol), k).over(w).as(s"${lagCol}_lag$k"),
+        lead(col(lagCol), k).over(w).as(s"${lagCol}_lead$k"))
+    }
+    val fused = df.select(
+      (df.columns.map(col).toSeq ++ lagLeadCols ++ Seq(
+        last(col(backfillCol), ignoreNulls = true).over(cum).as(s"${backfillCol}_ff"),
+        sum(col(rollCol)).over(roll).as(s"${rollCol}_rsum$rollN"),
+        count(col(rollCol)).over(roll).as(s"${rollCol}_rcnt$rollN"),
+        min(col(rollCol)).over(roll).as(s"${rollCol}_rmin$rollN"),
+        max(col(rollCol)).over(roll).as(s"${rollCol}_rmax$rollN"),
+        lag(col(time), 1).over(w).as("__prev_t"))): _*)
+    fused
+      .withColumn("__brk",
+        when(col("__prev_t").isNull || (col(time) - col("__prev_t")) > gap, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__brk")).over(cum) - 1)
+      .drop("__prev_t", "__brk")
+  }
+
   /** Per-session aggregate on a sessionized frame. */
   def sessionAgg(sessionized: DataFrame, valueCol: String,
       entity: String = "entity", time: String = "event_time"): DataFrame =

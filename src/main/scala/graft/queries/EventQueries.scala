@@ -121,14 +121,12 @@ object EventQueries {
   val q31: Q = (s, d) => {
     val e = Views.eventsV(s, d).withColumn("v",
       when(col("event_id") % 7 === 0, lit(null).cast("double")).otherwise(col("value")))
-    val stacked = graft.ops.WindowFeatures.sessionize(
-      graft.ops.WindowFeatures.rolling(
-        graft.ops.WindowFeatures.backfill(
-          graft.ops.WindowFeatures.lagLead(e, "value", Seq(1),
-            entity = "user_id", time = "t", tiebreak = "event_id"),
-          "v", entity = "user_id", time = "t", tiebreak = "event_id"),
-        "cents", 5, entity = "user_id", time = "t", tiebreak = "event_id"),
-      SessionGapMicros, entity = "user_id", time = "t", tiebreak = "event_id")
+    // fused: ONE WindowExec for lag/lead + backfill + rolling + the session
+    // break lag, one dependent WindowExec for the session id (vs 4-5 when
+    // composed operator-by-operator) — identical values, half the copies
+    val stacked = WindowFeatures.stack(e, lagCol = "value", lagOffsets = Seq(1),
+      backfillCol = "v", rollCol = "cents", rollN = 5, gap = SessionGapMicros,
+      entity = "user_id", time = "t", tiebreak = "event_id")
     val orders = Views.table(s, d, "orders")
       .groupBy(col("o_custkey").cast("string").as("entity"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("t"))

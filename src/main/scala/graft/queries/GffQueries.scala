@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.index.{GffOps, IndexBuild}
+import graft.ops.{Contained, IntervalJoin, Overlap}
+import graft.sources.GffSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle queries for the GFF index/query pipeline — the reference's core
+  * lifecycle (index -> extract / search / intersect) end-to-end through
+  * REAL text lines: a deterministic GFF fixture is rendered from `orders`
+  * as tab-separated strings, parsed by GffSource.parseLines (field split,
+  * coordinate normalize, skip types, attr regex — index_builder/core.rs:
+  * 54-138), indexed by IndexBuild (dense fids, dictionaries, parent
+  * closure, group extents), then queried by GffOps. The DuckDB twin
+  * computes the expected output directly from the same arithmetic
+  * (recursive CTE for the closure, window row_numbers for the dense ids).
+  *
+  * The fixture bakes in every normalize edge case: swapped coordinates
+  * (k%11), end==0 dropped rows (k%13 mRNA — which also orphans its exon,
+  * exercising the ghost-parent fallback-to-self, core.rs:162-168), and a
+  * skip-type 'region' row (k%17).
+  */
+object GffQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Render the fixture as (line_no, value) raw GFF text lines. */
+  def gffLines(s: SparkSession, d: String): DataFrame = {
+    val o = Views.table(s, d, "orders")
+      .where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").cast("long").as("k"))
+    o.select(col("k"), explode(expr("array(0L, 1L, 2L)")).as("lvl"))
+      .withColumn("line_no", col("k") * 3 + col("lvl"))
+      .withColumn("seqid", concat(lit("chr"), (col("k") % 5).cast("string")))
+      .withColumn("ftype",
+        when(col("lvl") === 2 && col("k") % 17 === 0, "region")
+          .when(col("lvl") === 0, "gene")
+          .when(col("lvl") === 1, "mRNA")
+          .otherwise("exon"))
+      .withColumn("gbase", (col("k") * 13) % 100000 + 1)
+      .withColumn("glen", lit(50L) + col("k") % 100)
+      .withColumn("raw_start",
+        when(col("k") % 11 === 0, col("gbase") + col("glen")).otherwise(col("gbase")))
+      .withColumn("raw_end",
+        when(col("k") % 13 === 0 && col("lvl") === 1, lit(0L))
+          .when(col("k") % 11 === 0, col("gbase"))
+          .otherwise(col("gbase") + col("glen")))
+      .withColumn("fid_name",
+        concat(lit("f"), col("k").cast("string"), lit("_"), col("lvl").cast("string")))
+      .withColumn("attrs", concat(
+        lit("ID="), col("fid_name"),
+        when(col("lvl") > 0,
+          concat(lit(";Parent=f"), col("k").cast("string"), lit("_"),
+            (col("lvl") - 1).cast("string"))).otherwise(lit("")),
+        when(col("lvl") === 0,
+          concat(lit(";gene_name=g"), (col("k") % 50).cast("string"))).otherwise(lit(""))))
+      .select(col("line_no"),
+        concat_ws("\t", col("seqid"), lit("src"), col("ftype"),
+          col("raw_start").cast("string"), col("raw_end").cast("string"),
+          lit("."), lit("+"), lit("."), col("attrs")).as("value"))
+  }
+
+  private def index(s: SparkSession, d: String): IndexBuild.IndexTables =
+    IndexBuild.build(GffSource.parseLines(gffLines(s, d)))
+
+  /** Shared DuckDB CTEs computing the expected post-index feature table
+    * (`gfull`) from the same arithmetic. Callers prefix `WITH RECURSIVE `.
+    */
+  private val gffSql: String =
+    """glines AS (
+      |  SELECT o_orderkey AS k, lvl, o_orderkey * 3 + lvl AS line_no
+      |  FROM orders, UNNEST([0, 1, 2]) AS t(lvl)
+      |  WHERE o_orderkey % 2 = 0),
+      |gfields AS (
+      |  SELECT k, lvl, line_no,
+      |    'chr' || CAST(k % 5 AS VARCHAR) AS seqid,
+      |    CASE WHEN lvl = 2 AND k % 17 = 0 THEN 'region'
+      |         WHEN lvl = 0 THEN 'gene' WHEN lvl = 1 THEN 'mRNA'
+      |         ELSE 'exon' END AS ftype,
+      |    (k * 13) % 100000 + 1 AS gbase,
+      |    50 + (k % 100) AS glen,
+      |    'f' || CAST(k AS VARCHAR) || '_' || CAST(lvl AS VARCHAR) AS id,
+      |    CASE WHEN lvl = 0 THEN NULL
+      |         ELSE 'f' || CAST(k AS VARCHAR) || '_' || CAST(lvl - 1 AS VARCHAR) END AS parent,
+      |    CASE WHEN lvl = 0 THEN 'g' || CAST(k % 50 AS VARCHAR) ELSE NULL END AS attr
+      |  FROM glines),
+      |graw AS (
+      |  SELECT *,
+      |    CASE WHEN k % 11 = 0 THEN gbase + glen ELSE gbase END AS raw_start,
+      |    CASE WHEN k % 13 = 0 AND lvl = 1 THEN 0
+      |         WHEN k % 11 = 0 THEN gbase ELSE gbase + glen END AS raw_end
+      |  FROM graw_base),
+      |gkept AS (
+      |  SELECT k, lvl, line_no, seqid, ftype, id, parent, attr,
+      |    least(raw_start, raw_end) - 1 AS f_start,
+      |    greatest(raw_start, raw_end) AS f_end
+      |  FROM graw
+      |  WHERE ftype NOT IN ('remark','note','comment','region','gap',
+      |                      'assembly_gap','contig','scaffold','source')
+      |    AND raw_end <> 0),
+      |gfeat AS (
+      |  SELECT *, row_number() OVER (ORDER BY line_no) - 1 AS fid FROM gkept),
+      |gedges AS (
+      |  SELECT c.fid AS id, COALESCE(p.fid, c.fid) AS parent
+      |  FROM gfeat c LEFT JOIN gfeat p ON p.id = c.parent),
+      |gr AS (
+      |  SELECT id, parent AS root FROM gedges
+      |  UNION ALL
+      |  SELECT gr.id, e.parent FROM gr JOIN gedges e ON e.id = gr.root
+      |  WHERE e.parent <> gr.root),
+      |groots AS (
+      |  SELECT gr.id AS fid, gr.root AS root_fid FROM gr
+      |  WHERE NOT EXISTS (SELECT 1 FROM gedges e
+      |                    WHERE e.id = gr.root AND e.parent <> gr.root)),
+      |gent AS (
+      |  SELECT seqid, row_number() OVER (ORDER BY min(line_no)) - 1 AS entity_id
+      |  FROM gfeat GROUP BY seqid),
+      |gattr AS (
+      |  SELECT attr, row_number() OVER (ORDER BY min(fid)) - 1 AS aid
+      |  FROM gfeat WHERE attr IS NOT NULL GROUP BY attr),
+      |gfull AS (
+      |  SELECT f.line_no, f.fid, e.entity_id, f.seqid, f.ftype,
+      |    f.f_start AS "start", f.f_end AS "end",
+      |    f.id, f.parent, f.attr, a.aid, r.root_fid
+      |  FROM gfeat f JOIN groots r ON r.fid = f.fid
+      |  JOIN gent e ON e.seqid = f.seqid
+      |  LEFT JOIN gattr a ON a.attr = f.attr)"""
+      .stripMargin
+      // graw selects * from gfields then adds raw cols; a CTE cannot
+      // reference itself, so alias the base
+      .replace("FROM graw_base", "FROM gfields")
+
+  // q32 — parse + full index build: the persisted features table
+  // (S1, P1, P5-P8, P6 attr extraction, J4 closure, J8 root zip,
+  //  dictionaries = index_builder/core.rs:41-242).
+  val q32: Q = (s, d) => index(s, d).features
+
+  val q32Sql: String =
+    s"""WITH RECURSIVE $gffSql
+       |SELECT line_no, fid, entity_id, seqid, ftype, "start", "end",
+       |  id, parent, attr, aid, root_fid
+       |FROM gfull""".stripMargin
+
+  // q33 — extract: name list -> fids -> roots -> whole groups, file order
+  // (S5, J3, J5 path shape, S8 sink; extract.rs:37-162).
+  val q33: Q = (s, d) => {
+    val t = index(s, d)
+    val names = Views.table(s, d, "orders")
+      .where(col("o_orderkey") % 30 === 0)
+      .select(concat(lit("f"), col("o_orderkey").cast("long").cast("string"),
+        lit("_1")).as("name"))
+    GffOps.extract(t, names)
+      .select("line_no", "fid", "id", "ftype", "start", "end", "root_fid")
+  }
+
+  val q33Sql: String =
+    s"""WITH RECURSIVE $gffSql,
+       |names AS (SELECT 'f' || CAST(o_orderkey AS VARCHAR) || '_1' AS name
+       |  FROM orders WHERE o_orderkey % 30 = 0),
+       |xr AS (SELECT DISTINCT g.root_fid FROM gfull g JOIN names n ON n.name = g.id)
+       |SELECT g.line_no, g.fid, g.id, g.ftype, g."start", g."end", g.root_fid
+       |FROM gfull g JOIN xr ON xr.root_fid = g.root_fid""".stripMargin
+
+  // q34 — search --regex over the attr dictionary -> groups
+  // (S6, M3, J5; search.rs:55-252).
+  val q34: Q = (s, d) =>
+    GffOps.searchRegex(index(s, d), Seq("^g1[0-9]$"))
+      .select("line_no", "fid", "id", "ftype", "attr", "root_fid")
+
+  val q34Sql: String =
+    s"""WITH RECURSIVE $gffSql,
+       |mr AS (SELECT DISTINCT root_fid FROM gfull
+       |  WHERE attr IS NOT NULL AND regexp_matches(attr, '^g1[0-9]$$'))
+       |SELECT g.line_no, g.fid, g.id, g.ftype, g.attr, g.root_fid
+       |FROM gfull g JOIN mr ON mr.root_fid = g.root_fid""".stripMargin
+
+  // q35 — intersect, Contained mode, match-only re-check + types filter
+  // (J1 over the root-interval table, P2/P4, S10 sink;
+  //  intersect.rs:232-438,500-517).
+  val q35: Q = (s, d) => {
+    val t = index(s, d)
+    val regions = Views.table(s, d, "orders")
+      .where(col("o_orderkey") % 40 === 0)
+      .select(concat(lit("chr"), (col("o_orderkey") % 5).cast("string")).as("seqid"),
+        ((col("o_orderkey") * 7) % 100000).cast("long").as("start"))
+      .withColumn("end", col("start") + 900L)
+      .join(t.entityDict, "seqid")
+      .select("entity_id", "start", "end")
+    GffOps.intersect(t, regions, Contained, matchOnly = true, types = Seq("exon", "gene"))
+      .select("line_no", "fid", "id", "ftype", "start", "end")
+  }
+
+  val q35Sql: String =
+    s"""WITH RECURSIVE $gffSql,
+       |regions AS (
+       |  SELECT e.entity_id, (o_orderkey * 7) % 100000 AS r_start,
+       |    (o_orderkey * 7) % 100000 + 900 AS r_end
+       |  FROM orders JOIN gent e ON e.seqid = 'chr' || CAST(o_orderkey % 5 AS VARCHAR)
+       |  WHERE o_orderkey % 40 = 0),
+       |givs AS (SELECT root_fid, min(entity_id) AS entity_id,
+       |    min("start") AS g_start, max("end") AS g_end
+       |  FROM gfull GROUP BY root_fid),
+       |cand AS (SELECT DISTINCT i.root_fid FROM regions r JOIN givs i
+       |  ON i.entity_id = r.entity_id AND i.g_start >= r.r_start AND i.g_end <= r.r_end)
+       |SELECT g.line_no, g.fid, g.id, g.ftype, g."start", g."end"
+       |FROM gfull g JOIN cand c ON c.root_fid = g.root_fid
+       |WHERE g.ftype IN ('exon', 'gene')
+       |  AND EXISTS (SELECT 1 FROM regions r WHERE r.entity_id = g.entity_id
+       |              AND g."start" >= r.r_start AND g."end" <= r.r_end)""".stripMargin
+
+  // q36 — bulk probe-interval table (the S3/depth.rs shape: the PROBE side
+  // is the big table — lineitem-wide — driving the binned join).
+  val q36: Q = (s, d) => {
+    val probes = Views.probesBulk(s, d)
+    val feats = Views.feats(s, d).select("entity", "start", "end", "fid")
+    IntervalJoin.binnedJoin(probes, feats, Overlap, 1024L)
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_matches"), sum("fid").as("sum_fid"))
+  }
+
+  val q36Sql: String =
+    s"""WITH ${Views.featsSql}, ${Views.probesBulkSql}
+       |SELECT p.probe_id AS probe_id, count(*) AS n_matches,
+       | CAST(sum(f.fid) AS BIGINT) AS sum_fid
+       |FROM probes p JOIN feats f
+       | ON p.entity = f.entity AND f.f_start < p.p_end AND f.f_end > p.p_start
+       |GROUP BY p.probe_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q32_gff_index" -> q32,
+    "q33_gff_extract" -> q33,
+    "q34_gff_search_regex" -> q34,
+    "q35_gff_intersect_matchonly" -> q35,
+    "q36_bulk_probe_overlap" -> q36)
+
+  val oracles: Map[String, String] = Map(
+    "q32_gff_index" -> q32Sql,
+    "q33_gff_extract" -> q33Sql,
+    "q34_gff_search_regex" -> q34Sql,
+    "q35_gff_intersect_matchonly" -> q35Sql,
+    "q36_bulk_probe_overlap" -> q36Sql)
+}

@@ -51,20 +51,26 @@ object TextQueries {
        | doc_id = min(doc_id) OVER (PARTITION BY dup_key) AS is_canonical
        |FROM d""".stripMargin
 
-  // q21 — MinHash+LSH near-dup candidate pairs (5-gram shingles, k=8, r=2).
+  // q21 — MinHash+LSH near-dup candidate pairs (5-gram shingles, 8 32-bit
+  // lanes sliced from 2 salted md5s, r=2 bands, hot buckets > 128 dropped
+  // deterministically on BOTH engines).
   val q21: Q = (s, d) =>
-    Dedup.minHashLshPairs(Views.table(s, d, "documents"), "doc_id", "text", 5, 8, 2)
+    Dedup.minHashLshPairs(Views.table(s, d, "documents"), "doc_id", "text", 5, 8, 2, 128)
 
   val q21Sql: String = {
-    val mins = (0 until 8).map(i => s"min(md5('$i:' || s)) AS mh$i").mkString(", ")
+    val mins = (0 until 8).map(i =>
+      s"min(substring(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS mh$i").mkString(", ")
     val bands = (0 until 4).map(j =>
       s"SELECT doc_id, $j AS j, mh${2 * j} || mh${2 * j + 1} AS b FROM sig").mkString(" UNION ALL ")
     s"""WITH sh AS (SELECT DISTINCT doc_id, substring(text, i, 5) AS s
        |  FROM documents, UNNEST(generate_series(1, greatest(len(text) - 4, 1))) AS t(i)),
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY 1),
-       |bands AS ($bands)
+       |bands AS ($bands),
+       |cb AS (SELECT doc_id, j, b FROM
+       |  (SELECT doc_id, j, b, count(*) OVER (PARTITION BY j, b) AS bn FROM bands)
+       |  WHERE bn <= 128)
        |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |FROM bands a JOIN bands b ON a.j = b.j AND a.b = b.b AND a.doc_id < b.doc_id""".stripMargin
+       |FROM cb a JOIN cb b ON a.j = b.j AND a.b = b.b AND a.doc_id < b.doc_id""".stripMargin
   }
 
   // q22 — 16-bit SimHash signatures.
@@ -83,13 +89,18 @@ object TextQueries {
        |SELECT doc_id, $terms AS simhash FROM h""".stripMargin
   }
 
-  // q23 — exact word-set Jaccard within 2-word-prefix blocks.
+  // q23 — exact word-set Jaccard within 2-word-prefix blocks (blocks with
+  // more than 64 docs dropped deterministically on both engines).
   val q23: Q = (s, d) =>
-    Dedup.jaccardPairs(Views.table(s, d, "documents"), "doc_id", "text", prefixKeySpark)
+    Dedup.jaccardPairs(Views.table(s, d, "documents"), "doc_id", "text", prefixKeySpark, 64)
 
   val q23Sql: String =
-    s"""WITH w AS (SELECT doc_id, $prefixKeyDuck AS blk,
-       |  unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+    s"""WITH d0 AS (SELECT doc_id, text, $prefixKeyDuck AS blk FROM documents),
+       |d AS (SELECT doc_id, text, blk FROM
+       |  (SELECT doc_id, text, blk, count(*) OVER (PARTITION BY blk) AS bn FROM d0)
+       |  WHERE bn <= 64),
+       |w AS (SELECT doc_id, blk,
+       |  unnest(list_distinct(string_split(text, ' '))) AS w FROM d),
        |sz AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY 1),
        |it AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
        |  FROM w a JOIN w b ON a.blk = b.blk AND a.w = b.w AND a.doc_id < b.doc_id
@@ -113,27 +124,77 @@ object TextQueries {
       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
       |SELECT qid, nid, rank, cos FROM r WHERE rank <= 5""".stripMargin
 
-  // q25 — LSH-bucketed ANN top-3 (8 sign-test bits), same query subset.
-  val q25: Q = (s, d) =>
-    Similarity.cosineKnnLsh(Views.table(s, d, "embeddings"), "vec_id", "embedding",
-      "vec_id % 40 = 0", 3, 8, 64)
+  // q25 — banded multi-table ANN top-3 (12 tables x 4 sign-test bits,
+  // OR-construction; recall vs the exact baseline measured by q37).
+  private val AnnBandBits = 4
+  private val AnnBands = 12
 
-  val q25Sql: String = {
-    val bkt = (0 until 8).map { j =>
-      val p = (j * 7) % 64 + 1
-      val q = (j * 13 + 3) % 64 + 1
-      s"(CASE WHEN embedding[$p] > embedding[$q] THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  val q25: Q = (s, d) =>
+    Similarity.cosineKnnLshBanded(Views.table(s, d, "embeddings"), "vec_id", "embedding",
+      "vec_id % 40 = 0", 3, AnnBandBits, AnnBands, 64)
+
+  /** DuckDB twin of Similarity.lshBucketExpr for band `g`. */
+  private def duckBand(g: Int): String =
+    (0 until AnnBandBits).map { j =>
+      val gi = g * AnnBandBits + j
+      val p = (gi * 7) % 64 + 1
+      val q = (gi * 13 + 3) % 64 + 1
+      s"(CASE WHEN embedding[$p] > embedding[$q] THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-       |  list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2,
-       |  $bkt AS bkt FROM embeddings),
-       |q AS (SELECT vec_id AS qid, emb AS qe, n2 AS qn2, bkt AS qb FROM e WHERE vec_id % 40 = 0),
-       |s AS (SELECT qid, e.vec_id AS nid, list_inner_product(qe, e.emb) / sqrt(qn2 * e.n2) AS cos
-       |  FROM q JOIN e ON e.bkt = qb AND e.vec_id <> qid),
-       |r AS (SELECT qid, nid, cos,
-       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
-       |SELECT qid, nid, rank, cos FROM r WHERE rank <= 3""".stripMargin
+
+  /** Shared CTE body: banded candidate pairs + scored + ranked (lr), and
+    * the exact brute-force ranking (br) for recall measurement.
+    */
+  private val annSql: String = {
+    val bandSelects = (0 until AnnBands).map(g =>
+      s"SELECT vec_id, $g AS g, ${duckBand(g)} AS bkt FROM embeddings").mkString(" UNION ALL ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |  list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2 FROM embeddings),
+       |bands AS ($bandSelects),
+       |qb AS (SELECT vec_id AS qid, g, bkt FROM bands WHERE vec_id % 40 = 0),
+       |pairs AS (SELECT DISTINCT qb.qid, nb.vec_id AS nid
+       |  FROM qb JOIN bands nb ON nb.g = qb.g AND nb.bkt = qb.bkt AND nb.vec_id <> qb.qid),
+       |ls AS (SELECT p.qid, p.nid, list_inner_product(q.emb, n.emb) / sqrt(q.n2 * n.n2) AS cos
+       |  FROM pairs p JOIN e q ON q.vec_id = p.qid JOIN e n ON n.vec_id = p.nid),
+       |lr AS (SELECT qid, nid, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM ls),
+       |bs AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |  list_inner_product(q.emb, e.emb) / sqrt(q.n2 * e.n2) AS cos
+       |  FROM e q JOIN e ON e.vec_id <> q.vec_id WHERE q.vec_id % 40 = 0),
+       |br AS (SELECT qid, nid,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM bs)""".stripMargin
   }
+
+  val q25Sql: String =
+    s"""WITH $annSql
+       |SELECT qid, nid, rank, cos FROM lr WHERE rank <= 3""".stripMargin
+
+  // q37 — measured ANN recall: |lsh top-3 ∩ exact top-3| / (3 * |queries|).
+  // Integer hit counts on both engines; the only float is one final
+  // division of the same two integers.
+  val q37: Q = (s, d) => {
+    val emb = Views.table(s, d, "embeddings")
+    val brute = Similarity.cosineKnnBrute(emb, "vec_id", "embedding", "vec_id % 40 = 0", 3)
+      .select("qid", "nid")
+    val lsh = Similarity.cosineKnnLshBanded(emb, "vec_id", "embedding",
+      "vec_id % 40 = 0", 3, AnnBandBits, AnnBands, 64)
+      .select("qid", "nid")
+    val hits = brute.join(lsh, Seq("qid", "nid"), "left_semi")
+    brute.agg(countDistinct(col("qid")).as("n_queries"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_queries"), col("n_hits"),
+        (col("n_hits").cast("double") / (col("n_queries").cast("double") * 3.0)).as("recall"))
+  }
+
+  val q37Sql: String =
+    s"""WITH $annSql,
+       |b3 AS (SELECT qid, nid FROM br WHERE rank <= 3),
+       |l3 AS (SELECT qid, nid FROM lr WHERE rank <= 3),
+       |h AS (SELECT count(*) AS n_hits FROM b3 JOIN l3 ON l3.qid = b3.qid AND l3.nid = b3.nid),
+       |nq AS (SELECT count(DISTINCT qid) AS n_queries FROM b3)
+       |SELECT CAST(nq.n_queries AS BIGINT) AS n_queries, CAST(h.n_hits AS BIGINT) AS n_hits,
+       | CAST(h.n_hits AS DOUBLE) / (CAST(nq.n_queries AS DOUBLE) * 3.0) AS recall
+       |FROM nq, h""".stripMargin
 
   // q26 — marker-profile language/topic ID.
   val q26: Q = (s, d) => TextOps.langId(Views.table(s, d, "documents"))
@@ -210,6 +271,7 @@ object TextQueries {
 
   val defs: Map[String, Q] = Map(
     "q30_multimodal_meta" -> q30,
+    "q37_ann_recall" -> q37,
     "q19_tokenize" -> q19,
     "q20_dedup_exact" -> q20,
     "q21_minhash_lsh" -> q21,
@@ -224,6 +286,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q30_multimodal_meta" -> q30Sql,
+    "q37_ann_recall" -> q37Sql,
     "q19_tokenize" -> q19Sql,
     "q20_dedup_exact" -> q20Sql,
     "q21_minhash_lsh" -> q21Sql,

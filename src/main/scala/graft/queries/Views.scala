@@ -55,6 +55,24 @@ object Views {
       | (o_orderkey*11) % 100000 + 1 + (o_custkey % 120) AS p_end
       | FROM orders WHERE o_orderkey % 5 = 0)""".stripMargin
 
+  /** Bulk probe-interval table — the S3 shape (reference depth.rs:297-423):
+    * the PROBE side is the big table (every lineitem row), driving the
+    * binned interval join at read-table scale.
+    */
+  def probesBulk(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("probe_id"),
+      (col("l_suppkey") % 16).cast("string").as("entity"),
+      ((col("l_orderkey") * 3 + col("l_linenumber") * 17) % 100000).as("start"),
+      ((col("l_orderkey") * 3 + col("l_linenumber") * 17) % 100000 + 1 + (col("l_suppkey") % 80)).as("end"))
+
+  val probesBulkSql: String =
+    """probes AS (SELECT l_orderkey*10 + l_linenumber AS probe_id,
+      | CAST(l_suppkey % 16 AS VARCHAR) AS entity,
+      | (l_orderkey*3 + l_linenumber*17) % 100000 AS p_start,
+      | (l_orderkey*3 + l_linenumber*17) % 100000 + 1 + (l_suppkey % 80) AS p_end
+      | FROM lineitem)""".stripMargin
+
   /** Small probe subset for raw-pair outputs / broadcast-path queries. */
   def probesSmall(spark: SparkSession, dir: String): DataFrame =
     probes(spark, dir).where(col("probe_id") % 50 === 0)

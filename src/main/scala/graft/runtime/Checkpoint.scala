@@ -71,19 +71,35 @@ object Checkpoint {
       timeCol: String,
       inputFingerprint: String = ""): RunReport = {
     val planHash = df.queryExecution.analyzed.semanticHash().toHexString
-    val (written, skipped) =
+    val (pending, skipped) =
       buckets.partition(b => !isCommitted(outDir, b))
-    val manifests = written.map { b =>
-      val part = df.where(col(bucketCol) === b)
-      val t0 = System.nanoTime()
-      part.write.mode("overwrite").parquet(s"$outDir/$bucketCol=$b")
-      val stats = part.agg(count(lit(1)), min(col(timeCol)), max(col(timeCol)))
-        .collect()(0)
-      val dt = (System.nanoTime() - t0) / 1e9
-      val rows = stats.getLong(0)
-      val m = PartitionManifest(b, rows,
-        if (stats.isNullAt(1)) 0L else stats.getLong(1),
-        if (stats.isNullAt(2)) 0L else stats.getLong(2),
+    if (pending.isEmpty) return RunReport(Nil, skipped)
+    val part = df.where(col(bucketCol).isin(pending: _*))
+    val t0 = System.nanoTime()
+    // TWO jobs TOTAL over the input, however many buckets are pending
+    // (round 1 ran a write job + an agg job PER bucket — 2N scans):
+    //  1. one partitioned write of every pending bucket; dynamic partition
+    //     overwrite leaves already-committed partition dirs untouched;
+    //  2. one grouped stats pass feeding every manifest.
+    // Manifests still commit atomically AFTER the data lands, so a crash
+    // between the two leaves no manifest and the rerun converges.
+    part.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(bucketCol)
+      .parquet(outDir)
+    val stats = part
+      .groupBy(col(bucketCol).cast("string").as("__b"))
+      .agg(count(lit(1)), min(col(timeCol)), max(col(timeCol)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val dt = (System.nanoTime() - t0) / 1e9
+    val manifests = pending.map { b =>
+      val (rows, tMin, tMax) = stats.get(b) match {
+        case Some(r) => (r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2),
+          if (r.isNullAt(3)) 0L else r.getLong(3))
+        case None => (0L, 0L, 0L) // pending bucket with zero input rows
+      }
+      val m = PartitionManifest(b, rows, tMin, tMax,
         dt, if (dt > 0) rows / dt else 0.0, planHash, inputFingerprint)
       writeAtomic(manifestPath(outDir, b), json(m))
       m
@@ -91,11 +107,15 @@ object Checkpoint {
     RunReport(manifests, skipped)
   }
 
-  /** Read back the committed output (all buckets). */
+  /** Read back the committed output (all buckets). The bucket column round-
+    * trips through the partition directory name (standard partition-type
+    * inference; it is appended as the LAST column of the result).
+    */
   def readCommitted(spark: SparkSession, outDir: String, bucketCol: String,
       buckets: Seq[String]): DataFrame = {
     val paths = buckets.filter(isCommitted(outDir, _))
       .map(b => s"$outDir/$bucketCol=$b")
-    spark.read.parquet(paths: _*)
+      .filter(p => new java.io.File(p).exists) // committed-but-empty bucket
+    spark.read.option("basePath", outDir).parquet(paths: _*)
   }
 }

@@ -30,13 +30,30 @@ object GffSource {
     */
   def parse(spark: SparkSession, path: String, attrKey: String = "gene_name",
       skipTypes: Seq[String] = DefaultSkipTypes): DataFrame = {
-    val raw = spark.read.text(path)
-      .select(col("value"))
-      // stable line ordinal: GFF group blocks are file-order contiguous
-      .withColumn("line_no", monotonically_increasing_id())
-    // monotonically_increasing_id is partition-stable for a single text
-    // file read in order, but NOT dense; re-rank below where density
-    // matters. For multi-file inputs pass one path per call.
+    // Total-order line ordinal from the file's own line order: zipWithIndex
+    // over the text RDD. Hadoop text splits are contiguous byte ranges in
+    // file order, so the index IS the file line number at ANY parallelism —
+    // unlike monotonically_increasing_id, which SURVEY.md §1.4 bans for id
+    // assignment (partition-layout-dependent). Costs one extra lightweight
+    // job (per-partition line counts) at index time only.
+    val raw = spark.createDataFrame(
+      spark.sparkContext.textFile(path).zipWithIndex().map { case (v, i) =>
+        org.apache.spark.sql.Row(i, v)
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("line_no",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    parseLines(raw, attrKey, skipTypes)
+  }
+
+  /** Parse pre-split GFF text lines carrying an explicit total-order
+    * `line_no` column — the file-free front-end (deterministic fixtures,
+    * already-loaded corpora). Same normalize semantics as [[parse]].
+    */
+  def parseLines(raw: DataFrame, attrKey: String = "gene_name",
+      skipTypes: Seq[String] = DefaultSkipTypes): DataFrame = {
     val f = raw
       .where(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
       .withColumn("p", split(col("value"), "\t"))
@@ -88,6 +105,18 @@ object GffSource {
         col("p").getItem(1).cast("long").as("start"),
         col("p").getItem(2).cast("long").as("end"))
       .where(col("start").isNotNull && col("end").isNotNull && col("start") < col("end"))
+
+  /** S5 — feature-name list file: one name per line, trimmed, blanks and
+    * comment lines dropped (reference: extract.rs:61-79).
+    */
+  def readNameList(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(trim(col("value")).as("name"))
+      .where(length(col("name")) > 0 && !col("name").startsWith("#"))
+
+  /** S6 — attribute-value list file, same shape (search.rs:76-87). */
+  def readValueList(spark: SparkSession, path: String): DataFrame =
+    readNameList(spark, path).withColumnRenamed("name", "attr")
 
   /** S4 — single region literal `chr:start-end` (intersect.rs:172-198). */
   def parseRegion(literal: String): (String, Long, Long) = {
