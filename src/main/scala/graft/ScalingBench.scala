@@ -151,7 +151,7 @@ object ScalingBench {
   def measure(job: (SparkSession, Long) => Long, name: String, n: Long,
       reps: Int): Result = {
     val ratio = nBig / nSmall
-    def runOnce(cores: Int, warm: Boolean): (Long, Double) = {
+    def runOnce(cores: Int, warm: Boolean, rep: Int): (Long, Double) = {
       cleanDir(spillDir(cores))
       val s = session(cores)
       s.sparkContext.setLogLevel("WARN")
@@ -164,16 +164,22 @@ object ScalingBench {
         // measured run starts from a collected heap: warmup garbage
         // otherwise bleeds G1 mixed-collection pauses into the measurement
         System.gc()
-        timed(job(s, rows))
+        val r = timed(job(s, rows))
+        // per-run audit line: cold-session artifacts must be VISIBLE
+        System.err.println(f"[scaling] $name cores=$cores rep=$rep t=${r._2}%.2f s")
+        r
       } finally s.stop()
     }
     // alternate arms (small, big, small, big, ...) so environment drift
-    // spreads across both arms; warmup only on each arm's first session
-    val samples = (1 to reps).map { i =>
-      (runOnce(nSmall, warm = i == 1), runOnce(nBig, warm = i == 1))
+    // spreads across both arms. Rep 0 is each arm's FIRST session in the
+    // JVM — classloading + codegen + JIT make it unrepresentative even
+    // after its two warmups (observed up to several-x slow) — so it is
+    // measured, PRINTED, and DISCARDED; the medians use reps 1..N.
+    val samples = (0 to reps).map { i =>
+      (runOnce(nSmall, warm = i == 0, i), runOnce(nBig, warm = i == 0, i))
     }
-    val small = samples.map(_._1)
-    val big = samples.map(_._2)
+    val small = samples.drop(1).map(_._1)
+    val big = samples.drop(1).map(_._2)
     // true median: odd reps -> middle element; even reps -> mean of middle 2
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -194,6 +200,8 @@ object ScalingBench {
     * can't contaminate the measurement (the round-1 failure mode).
     */
   def main(args: Array[String]): Unit = {
+    System.err.println(s"[scaling] heap max ${Runtime.getRuntime.maxMemory / (1 << 20)} MiB, " +
+      s"args ${java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments}")
     val nWin = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
     val nTok = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt

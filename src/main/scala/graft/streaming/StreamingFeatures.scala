@@ -1,8 +1,22 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Tagged event for the streaming as-of merge: tag 0 = feature update,
+  * tag 1 = probe. Nullable payloads depend on the tag.
+  */
+final case class AsOfEvent(entity: String, t: Long, tag: Int,
+    probe_id: java.lang.Long, value: java.lang.Double)
+
+/** Per-entity state: time-sorted feature history (parallel arrays). */
+final case class AsOfHistory(ts: Array[Long], vs: Array[Double])
+
+final case class AsOfOut(entity: String, t: Long, probe_id: Long,
+    f_t: java.lang.Long, value: java.lang.Double)
 
 /** Structured Streaming surface (SURVEY.md §2.7). The reference is batch,
   * but its depth command already processes input in 100k-record
@@ -67,5 +81,87 @@ object StreamingFeatures {
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRec)
     f.delete()
+  }
+
+  /** Streaming point-in-time (as-of) join via custom state
+    * (`flatMapGroupsWithState` — SURVEY §2.8 escalation path (c) for
+    * semantics Spark's built-in stream-stream joins can't express: the
+    * strictly-latest `t' <= t` merge, reference tree.rs:66-94 reinterpreted
+    * per the north rule).
+    *
+    * Input: ONE tagged union stream per entity (tag 0 = feature update,
+    * tag 1 = probe; build it with [[taggedUnion]]). Within a micro-batch,
+    * events are re-sorted by (t, tag) so features at equal t are visible to
+    * probes (the same `<=` bound as AsOfJoin.windowed). Across batches the
+    * per-entity state keeps a time-sorted feature history (bounded by
+    * `maxHistory`, oldest dropped), so late PROBES still resolve against
+    * earlier features; a feature arriving after a probe it should have
+    * matched cannot retro-correct an already-emitted row (append mode) —
+    * bound that staleness with the source watermark.
+    *
+    * State size: O(maxHistory) per entity — at 1000 executors state is
+    * hash-partitioned by entity and checkpointed by the engine.
+    */
+  def streamingAsOf(events: Dataset[AsOfEvent], maxHistory: Int = 1024): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState[AsOfHistory, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (entity: String, it: Iterator[AsOfEvent], state: GroupState[AsOfHistory]) =>
+          val evs = it.toArray.sortBy(e => (e.t, e.tag, Option(e.probe_id).map(_.toLong).getOrElse(0L)))
+          var ts = state.getOption.map(_.ts).getOrElse(Array.empty[Long])
+          var vs = state.getOption.map(_.vs).getOrElse(Array.empty[Double])
+          val outRows = new ArrayBuffer[AsOfOut]()
+          val addT = new ArrayBuffer[Long]()
+          val addV = new ArrayBuffer[Double]()
+          def lookup(t: Long): Int = {
+            // greatest i with merged time <= t; new adds are time-ordered and
+            // >= any probe processed after them within this batch, so a
+            // two-level search (adds first, then state) is exact
+            var lo = 0; var hi = ts.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (ts(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            ans
+          }
+          evs.foreach { e =>
+            if (e.tag == 0) { addT += e.t; addV += e.value }
+            else {
+              // best candidate = LATEST f_t <= t across the in-batch adds
+              // (sorted; features at equal t sort before probes) AND the
+              // state history; at equal f_t the in-batch add wins (newest)
+              var ai = addT.length - 1
+              while (ai >= 0 && addT(ai) > e.t) ai -= 1
+              val si = lookup(e.t)
+              if (ai >= 0 && (si < 0 || addT(ai) >= ts(si)))
+                outRows += AsOfOut(entity, e.t, e.probe_id, addT(ai), addV(ai))
+              else if (si >= 0)
+                outRows += AsOfOut(entity, e.t, e.probe_id, ts(si), vs(si))
+              else outRows += AsOfOut(entity, e.t, e.probe_id, null, null)
+            }
+          }
+          if (addT.nonEmpty) {
+            // merge batch adds into the sorted history (adds sorted; state
+            // sorted; histories interleave when events arrive late)
+            val mt = (ts ++ addT).zip(vs ++ addV).sortBy(_._1)
+            val keep = mt.takeRight(maxHistory)
+            ts = keep.map(_._1); vs = keep.map(_._2)
+            state.update(AsOfHistory(ts, vs))
+          }
+          outRows.iterator
+      }
+  }
+
+  /** Build the tagged union stream for [[streamingAsOf]] from separate
+    * probe (entity, t, probe_id) and feature (entity, t, value) frames.
+    */
+  def taggedUnion(probes: DataFrame, feats: DataFrame): Dataset[AsOfEvent] = {
+    import probes.sparkSession.implicits._
+    val p = probes.select(col("entity").cast("string"), col("t").cast("long"),
+      lit(1).as("tag"), col("probe_id").cast("long"), lit(null).cast("double").as("value"))
+    val f = feats.select(col("entity").cast("string"), col("t").cast("long"),
+      lit(0).as("tag"), lit(null).cast("long").as("probe_id"), col("value").cast("double"))
+    f.unionByName(p).as[AsOfEvent]
   }
 }

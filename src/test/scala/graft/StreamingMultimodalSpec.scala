@@ -50,6 +50,38 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got == exp, "cross-batch merged state must equal one-shot aggregate")
   }
 
+  test("streaming as-of (flatMapGroupsWithState) == batch as-of, across micro-batches") {
+    import graft.ops.AsOfJoin
+    val feats = Seq(("u1", 10L, 1.0), ("u1", 20L, 2.0), ("u2", 5L, 5.0))
+      .toDF("entity", "t", "value")
+    val probes = Seq(("u1", 9L, 100L), ("u1", 10L, 101L), ("u1", 25L, 102L),
+      ("u2", 4L, 103L), ("u3", 7L, 104L)).toDF("entity", "t", "probe_id")
+    val exp = AsOfJoin.windowed(probes, feats)
+      .select("probe_id", "f_t", "value")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+
+    val tagged = StreamingFeatures.taggedUnion(probes, feats)
+    val dir = Files.createTempDirectory("asof_stream").toString
+    // stage two TIME-ORDERED micro-batches (t <= 10, then the rest): state
+    // must carry earlier features into later batches
+    tagged.where(col("t") <= 10).coalesce(1).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val sdf = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val out = StreamingFeatures.streamingAsOf(sdf.as[graft.streaming.AsOfEvent])
+    val q = out.writeStream.format("memory").queryName("sasof").outputMode("append").start()
+    q.processAllAvailable()
+    tagged.where(col("t") > 10).coalesce(1).write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sasof").select("probe_id", "f_t", "value")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got == exp, s"streaming as-of must equal batch as-of: $got vs $exp")
+  }
+
   test("multimodal: binary schema, batched feature extraction, frame sampling") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bin = Multimodal.asBinaryTable(docs)
