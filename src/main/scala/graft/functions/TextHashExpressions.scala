@@ -68,11 +68,53 @@ object TextHash {
     fp + (acc % FpMod) * ((pos * FpMul) % FpMod)
   }
 
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** One-pass `bits`-bit SimHash over single-space-split words: bit j votes
+    * +1/-1 from bit (j%4) of hex digit (j/4 + 1) of md5(word) — EXACTLY the
+    * declarative Dedup.simHashHof / DuckDB q22 formula (hex char k of the
+    * md5 string = high/low nibble of digest byte k/2), one md5 per word
+    * instead of one interpreted lambda tree per (word x digit).
+    */
+  def simHash(bytes: Array[Byte], bits: Int): Long = {
+    val md = mdLocal.get()
+    val votes = new Array[Int](bits)
+    def word(off: Int, len: Int): Unit = {
+      md.reset()
+      md.update(bytes, off, len)
+      val dg = md.digest()
+      var j = 0
+      while (j < bits) {
+        val digitIdx = j >> 2
+        val b = dg(digitIdx >> 1) & 0xff
+        val hx = if ((digitIdx & 1) == 0) b >>> 4 else b & 0xf
+        votes(j) += (((hx >> (j & 3)) & 1) << 1) - 1
+        j += 1
+      }
+    }
+    var start = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { word(start, i - start); start = i + 1 }
+      i += 1
+    }
+    word(start, bytes.length - start) // split keeps the trailing/empty word
+    var out = 0L
+    var j = 0
+    while (j < bits) { if (votes(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+
   import org.apache.spark.sql.graftx.Bridge
   def token_hash_all(c: Column): Column =
     Bridge.column(TokenHashAllExpr(Bridge.expression(c)))
   def fingerprint64(c: Column): Column =
     Bridge.column(FingerprintExpr(Bridge.expression(c)))
+  def sim_hash(c: Column, bits: Int): Column =
+    Bridge.column(SimHashExpr(Bridge.expression(c), bits))
 }
 
 case class TokenHashAllExpr(child: Expression) extends UnaryExpression {
@@ -118,6 +160,17 @@ case class DotExpr(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotDouble($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
     copy(left = l, right = r)
+}
+
+case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits <= 32 && bits % 4 == 0)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simHash(input.asInstanceOf[UTF8String].getBytes, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simHash($c.getBytes(), $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
 }
 
 case class FingerprintExpr(child: Expression) extends UnaryExpression {

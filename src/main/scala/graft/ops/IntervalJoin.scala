@@ -100,7 +100,17 @@ object IntervalJoin {
     }
   }
 
-  /** Path 2 — binned/salted equi-join. Pure Catalyst; codegen end-to-end. */
+  /** Path 2 — binned/salted equi-join. Pure Catalyst; codegen end-to-end.
+    *
+    * The join is FORCED to a shuffle merge: binnedJoin is by contract the
+    * both-sides-big path (small sides route through [[join]]'s broadcast
+    * decision), and a broadcast plan here would leave the expensive
+    * pair-predicate evaluation on the streamed side's SCAN partitions —
+    * which for a single-row-group parquet file is ONE task (measured 76 s
+    * for q36 at sf0.1; 64-way parallel after the exchange). At 100 TB a
+    * shuffle join on (entity, bin) is what the optimizer picks anyway;
+    * sort-merge (not shuffled-hash) keeps per-partition memory flat.
+    */
   def binnedJoin(probes: DataFrame, feats: DataFrame, mode: OverlapMode,
       binSize: Long = 8192L): DataFrame = {
     require(binSize > 0)
@@ -108,7 +118,7 @@ object IntervalJoin {
       explode(sequence(expr(s"p_start DIV ${binSize}L"), expr(s"(p_end - 1) DIV ${binSize}L"))))
     val f = prep(feats, "f").withColumn("__bin",
       explode(sequence(expr(s"f_start DIV ${binSize}L"), expr(s"(f_end - 1) DIV ${binSize}L"))))
-    p.join(f, Seq("entity", "__bin"))
+    p.hint("shuffle_merge").join(f, Seq("entity", "__bin"))
       .where(predicate(mode) &&
         expr(s"greatest(p_start, f_start) DIV ${binSize}L") === col("__bin"))
       .drop("__bin")

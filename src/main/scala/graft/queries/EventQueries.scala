@@ -164,8 +164,45 @@ object EventQueries {
        | s2.value_lag1, s2.cents_rsum5, s2.v_ff, s2.session_id, f.price_c AS price_c
        |FROM s2 ASOF LEFT JOIN f ON s2.entity = f.entity AND s2.t >= f.t""".stripMargin
 
+  // q38 — the one-pass fused feature stack (custom mapPartitions operator,
+  // zero WindowExec buffering) against the same windowed-SQL oracle: proof
+  // the physical-path OPTION computes identical values.
+  val q38: Q = (s, d) => {
+    val e = Views.eventsV(s, d).withColumn("v",
+      when(col("event_id") % 7 === 0, lit(null).cast("double")).otherwise(col("value")))
+    graft.ops.FusedStack.stack(e, lagCol = "value", lagOffsets = Seq(1),
+      backfillCol = "v", rollCol = "cents", rollN = 5, gap = SessionGapMicros,
+      entity = "user_id", time = "t", tiebreak = "event_id")
+      .select("event_id", "value_lag1", "value_lead1", "v_ff",
+        "cents_rsum5", "cents_rcnt5", "cents_rmin5", "cents_rmax5", "session_id")
+  }
+
+  val q38Sql: String =
+    s"""WITH ${Views.eventsSql},
+       |b AS (SELECT event_id, user_id, t, cents, value,
+       |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM e),
+       |s AS (SELECT event_id, user_id, t,
+       |  lag(value, 1) OVER w AS value_lag1, lead(value, 1) OVER w AS value_lead1,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff,
+       |  CAST(sum(cents) OVER w5 AS BIGINT) AS cents_rsum5,
+       |  count(cents) OVER w5 AS cents_rcnt5,
+       |  min(cents) OVER w5 AS cents_rmin5,
+       |  max(cents) OVER w5 AS cents_rmax5,
+       |  CASE WHEN lag(t, 1) OVER w IS NULL
+       |       OR t - lag(t, 1) OVER w > $SessionGapMicros THEN 1 ELSE 0 END AS brk
+       |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id),
+       |  w5 AS (PARTITION BY user_id ORDER BY t, event_id
+       |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+       |SELECT event_id, value_lag1, value_lead1, v_ff,
+       | cents_rsum5, cents_rcnt5, cents_rmin5, cents_rmax5,
+       | CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+       |FROM s""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q31_feature_assembly" -> q31,
+    "q38_fused_stack" -> q38,
     "q13_lag_lead" -> q13,
     "q14_backfill" -> q14,
     "q15_sessionize" -> q15,
@@ -175,6 +212,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q31_feature_assembly" -> q31Sql,
+    "q38_fused_stack" -> q38Sql,
     "q13_lag_lead" -> q13Sql,
     "q14_backfill" -> q14Sql,
     "q15_sessionize" -> q15Sql,

@@ -29,10 +29,50 @@ class TextHashExprSpec extends SparkSpec {
     assert(fast == spec)
   }
 
+  test("SimHashExpr == HOF simhash spec (16 and 8 bits)") {
+    for (bits <- Seq(8, 16)) {
+      val fast = graft.ops.Dedup.simHash(docs, "doc_id", "text", bits)
+        .as[(Long, Long)].collect().toMap
+      val spec = graft.ops.Dedup.simHashHof(docs, "doc_id", "text", bits)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == spec, s"bits=$bits")
+    }
+  }
+
   test("FingerprintExpr == HOF fingerprint spec") {
     val fast = TextOps.fingerprint(docs).as[(Long, Long)].collect().toMap
     val spec = TextOps.fingerprintHof(docs).as[(Long, Long)].collect().toMap
     assert(fast == spec)
+  }
+
+  test("GraftExtensions registers the expressions as SQL functions") {
+    // extensions apply only at SESSION CREATION: force a fresh session over
+    // the same context, then restore the shared test session as default
+    val SS = org.apache.spark.sql.SparkSession
+    SS.clearActiveSession(); SS.clearDefaultSession()
+    val s2 = SS.builder().master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      val rows = docs.collect().toSeq
+      import scala.jdk.CollectionConverters._
+      s2.createDataFrame(rows.asJava, docs.schema).createOrReplaceTempView("ext_docs")
+      val viaSql = s2.sql(
+        "SELECT doc_id, token_hash_all(text) AS tokens, fingerprint64(text) AS fp FROM ext_docs")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getAs[scala.collection.Seq[Int]](1), r.getLong(2)))).toMap
+      val viaApi = TextOps.tokenize(docs).join(TextOps.fingerprint(docs), "doc_id")
+        .select("doc_id", "tokens", "fingerprint")
+        .collect().map(r => r.getString(0).toLong ->
+          ((r.getAs[scala.collection.Seq[Int]](1), r.getLong(2)))).toMap
+      assert(viaSql == viaApi)
+      val dot = s2.sql(
+        "SELECT dot_f(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(2 AS FLOAT), CAST(0.5 AS FLOAT)))")
+        .collect()(0).getDouble(0)
+      assert(dot == 4.0)
+    } finally {
+      SS.setDefaultSession(spark); SS.setActiveSession(spark)
+    }
   }
 
   test("expressions run inside whole-stage codegen (on a non-local source)") {
