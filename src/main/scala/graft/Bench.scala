@@ -122,7 +122,7 @@ object Bench {
     // 2 vs 8 cores; full methodology + ceiling analysis in BASELINE.md)
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
     val w = scalingIsolated("window", scaleN, reps)
     val t = scalingIsolated("tokens", scaleDocs, reps)
 

@@ -204,7 +204,7 @@ object ScalingBench {
       s"args ${java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments}")
     val nWin = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
     val nTok = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
     val which = sys.env.getOrElse("SPARK_GRAFT_SCALE_JOB", "all")
     if (which == "all" || which == "window")
       println(s"SCALING ${measure(windowJob, "window_features_asof", nWin, reps).json}")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, EventQueries, GffQueries, TextQueries}
+import graft.queries.{CoreQueries, EventQueries, GffQueries, StreamQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++ GffQueries.defs
+    CoreQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++ GffQueries.defs ++
+      StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++ GffQueries.oracles
+    CoreQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++ GffQueries.oracles ++
+      StreamQueries.oracles
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.streaming.StreamingFeatures
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Oracle-gated queries that drive the REAL Structured Streaming engine
+  * (SURVEY.md §2.7) over the driver's parquet tables: `readStream` file
+  * source -> stateful transform -> memory sink, `Trigger.AvailableNow`.
+  * The contract these prove is batch parity: a finite replay through the
+  * streaming engine (StateStore aggregation / flatMapGroupsWithState
+  * state) must equal the batch SQL oracle bit-for-bit.
+  *
+  * Memory sink + complete/append is the TEST harness shape only — it is
+  * how a finite replay is made comparable. The production path swaps the
+  * sink for parquet/Kafka with append + watermark (unbounded input); the
+  * transform under test is identical.
+  */
+object StreamQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Run a finite streaming query to completion and return the sink table.
+    * The memory sink registers `name` as a temp view; AvailableNow stops
+    * the query once all currently-available input is processed.
+    */
+  private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = Views.table(s, d, "events").schema
+    // the driver tables are single parquet FILES, and the file stream
+    // source only accepts a directory or a glob — a glob over the exact
+    // name keeps it to the one file; maxFilesPerTrigger pinned high so the
+    // finite replay is ONE micro-batch (batch-parity oracle; multi-batch
+    // state carry-over is covered by StreamingMultimodalSpec)
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1000000")
+      .parquet(s"$d/{events.parquet,events.parquet/*.parquet}")
+  }
+
+  // q39 — streaming tumbling 1-hour counts per user through the streaming
+  // aggregation StateStore. `value` is pre-converted to exact integer cents
+  // so the re-aggregated sum is engine-order-independent.
+  val q39: Q = (s, d) => {
+    val src = eventsStream(s, d).select(col("ts"), col("user_id"),
+      round(col("value") * 100).cast("long").as("value"))
+    val agg = StreamingFeatures.tumblingCounts(src, "1 hour", "30 minutes")
+    runToTable(agg, "q39_mem", "complete")
+      .select(unix_micros(col("window.start")).as("w_start"), col("user_id"),
+        col("n"), col("vsum").cast("long").as("vsum_c"))
+  }
+
+  val q39Sql: String =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_start, user_id,
+      | count(*) AS n,
+      | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS vsum_c
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // q40 — streaming point-in-time as-of join via flatMapGroupsWithState
+  // (custom per-entity state; the streaming twin of q05). Every event is a
+  // probe; every third event also publishes a feature whose value is a
+  // deterministic function of its timestamp, so the output is reproducible
+  // even if the corpus carries duplicate (entity, t) feature events.
+  val q40: Q = (s, d) => {
+    val e = eventsStream(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("t"))
+    val probes = e.select(col("user_id").cast("string").as("entity"), col("t"),
+      col("event_id").as("probe_id"))
+    val feats = e.where(col("event_id") % 3 === 0)
+      .select(col("user_id").cast("string").as("entity"), col("t"),
+        (col("t") % 997).cast("double").as("value"))
+    val out = StreamingFeatures.streamingAsOf(
+      StreamingFeatures.taggedUnion(probes, feats))
+    runToTable(out.toDF(), "q40_mem", "append")
+      .select("entity", "t", "probe_id", "f_t", "value")
+  }
+
+  val q40Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+      |p AS (SELECT CAST(user_id AS VARCHAR) AS entity, t, event_id AS probe_id FROM e),
+      |f AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS entity, t,
+      |  CAST(t % 997 AS DOUBLE) AS value FROM e WHERE event_id % 3 = 0)
+      |SELECT p.entity, p.t, p.probe_id, f.t AS f_t, f.value AS value
+      |FROM p ASOF LEFT JOIN f ON p.entity = f.entity AND p.t >= f.t""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q39_stream_tumbling" -> q39,
+    "q40_stream_asof" -> q40)
+
+  val oracles: Map[String, String] = Map(
+    "q39_stream_tumbling" -> q39Sql,
+    "q40_stream_asof" -> q40Sql)
+}
