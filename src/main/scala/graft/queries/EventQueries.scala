@@ -200,9 +200,35 @@ object EventQueries {
        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
        |FROM s""".stripMargin
 
+  // q41 — checkpointed partitioned-run round-trip: runPartitioned commits
+  // every bucket (one write job + one stats job over the input, atomic
+  // per-bucket manifests), readCommitted reads the committed partitions
+  // back, and the per-bucket aggregate must equal a direct GROUP BY over
+  // the source — proof the resumable commit protocol writes exactly the
+  // input, end to end. Buckets carry a 'b' prefix so the partition-dir
+  // round-trip cannot be type-inferred away from string.
+  val q41: Q = (s, d) => {
+    val e = Views.eventsV(s, d)
+      .withColumn("bucket", concat(lit("b"), (col("user_id") % 8).cast("string")))
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_q41").toString
+    val buckets = (0 until 8).map("b" + _)
+    graft.runtime.Checkpoint.runPartitioned(e, "bucket", buckets, out, "t")
+    graft.runtime.Checkpoint.readCommitted(s, out, "bucket", buckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("t")).as("t_min"),
+        max(col("t")).as("t_max"), sum(col("cents")).cast("long").as("vsum_c"))
+  }
+
+  val q41Sql: String =
+    s"""WITH ${Views.eventsSql}
+       |SELECT 'b' || CAST(user_id % 8 AS VARCHAR) AS bucket, count(*) AS n,
+       | min(t) AS t_min, max(t) AS t_max, CAST(sum(cents) AS BIGINT) AS vsum_c
+       |FROM e GROUP BY 1""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q31_feature_assembly" -> q31,
     "q38_fused_stack" -> q38,
+    "q41_checkpoint_roundtrip" -> q41,
     "q13_lag_lead" -> q13,
     "q14_backfill" -> q14,
     "q15_sessionize" -> q15,
@@ -213,6 +239,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q31_feature_assembly" -> q31Sql,
     "q38_fused_stack" -> q38Sql,
+    "q41_checkpoint_roundtrip" -> q41Sql,
     "q13_lag_lead" -> q13Sql,
     "q14_backfill" -> q14Sql,
     "q15_sessionize" -> q15Sql,
