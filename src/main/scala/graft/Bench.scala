@@ -104,6 +104,16 @@ object Bench {
     // part 1: per-query timings (full-column checksum action)
     val s1 = session(cpus)
     s1.sparkContext.setLogLevel("WARN")
+    // untimed generic warmup: classloading, parquet reader, shuffle
+    // machinery, and the Janino codegen framework otherwise all charge to
+    // whichever query runs first (q01 measured ~8 s slower as the opener
+    // than in isolation). Per-query codegen compile still counts — that is
+    // a real per-query cost.
+    locally {
+      val warm = s1.read.parquet(s"$sfDir/lineitem.parquet")
+      warm.agg(count(lit(1)),
+        sum(pmod(xxhash64(warm.columns.map(col): _*), lit(1000000007L)))).collect()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, dt) = timed {
         try {

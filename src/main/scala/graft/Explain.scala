@@ -12,7 +12,8 @@ object Explain {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSet else
       Set("q01_interval_overlap", "q05_asof_join", "q19_tokenize",
-        "q21_minhash_lsh", "q31_feature_assembly")
+        "q21_minhash_lsh", "q31_feature_assembly", "q36_bulk_probe_overlap",
+        "q38_fused_stack", "q41_checkpoint_roundtrip")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -90,6 +90,33 @@ class GffIndexSpec extends SparkSpec {
     assert(regex == Set("gene2", "ex3"))
   }
 
+  test("S5/S6 file front-ends: name/value list files drive extract/search (extract.rs:61-79, search.rs:76-87)") {
+    val listDir = Files.createTempDirectory("gfflists").toString
+    // whitespace, blank lines, and comment lines must all be dropped
+    Files.write(java.nio.file.Paths.get(s"$listDir/names.txt"),
+      "# requested features\n  ex2  \n\nex2\n".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$listDir/values.txt"),
+      "alpha\n\n# comment\n".getBytes("UTF-8"))
+    val byFile = GffOps.extract(idx, GffSource.readNameList(spark, s"$listDir/names.txt"))
+      .select("id").as[String].collect().toSeq
+    assert(byFile == Seq("gene1", "rna1", "ex1", "ex2"), "file list ≡ direct list")
+    val values = GffSource.readValueList(spark, s"$listDir/values.txt")
+      .as[String].collect().toSeq
+    assert(values == Seq("alpha"))
+    val viaFile = GffOps.searchExact(idx, values).select("id").as[String].collect().toSet
+    assert(viaFile == Set("gene1", "rna1", "ex1", "ex2", "gene3"))
+  }
+
+  test("M5 header passthrough + S11 TSV sink round-trip") {
+    val headers = GffSource.headerLines(spark, s"$dir/test.gff").as[String].collect().toSeq
+    assert(headers == Seq("##gff-version 3"))
+    val out = Files.createTempDirectory("gfftsv").toString + "/out"
+    GffSource.writeTsv(parsed.select("id", "start", "end"), out)
+    val back = spark.read.option("sep", "\t").option("header", "true").csv(out)
+    assert(back.count() == parsed.count())
+    assert(back.columns.toSeq == Seq("id", "start", "end"))
+  }
+
   test("intersect: overlap vs contained modes + invert") {
     val regions = Seq((0L, 150L, 350L)).toDF("entity_id", "start", "end")
     val hit = GffOps.intersect(idx, regions, Overlap)
