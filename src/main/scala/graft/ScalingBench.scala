@@ -102,6 +102,25 @@ object ScalingBench {
       .collect()(0).getLong(0)
   }
 
+  /** The same feature stack + as-of through the one-pass FusedStack
+    * operator (q38's physical path): one exchange + one sort + a streaming
+    * mapPartitions instead of two WindowExec buffer passes — the engine's
+    * escalation path past the WindowExec memory-copy ceiling.
+    */
+  def fusedJob(spark: SparkSession, n: Long): Long = {
+    val ev = Synth.events(spark, n, nEntities = 4096)
+    val feat = graft.ops.FusedStack.stack(ev, lagCol = "value", lagOffsets = Seq(1, 2),
+      backfillCol = "value", rollCol = "event_time", rollN = 8, gap = 1000L,
+      tiebreak = "event_id")
+    val dim = Synth.events(spark, n / 16, nEntities = 4096, seed = 99L)
+      .groupBy(col("entity"), col("event_time").as("t"))
+      .agg(max("value").as("dim_v"))
+    val probes = feat.withColumnRenamed("event_time", "t")
+    val out = AsOfJoin.windowed(probes, dim)
+    out.agg(count(lit(1)), sum(pmod(xxhash64(out.columns.map(col): _*), lit(1000000007L))))
+      .collect()(0).getLong(0)
+  }
+
   /** Compute-bound: token/text feature extraction over generated docs. */
   def tokenJob(spark: SparkSession, n: Long): Long = {
     val docs = Synth.tokenSeqs(spark, n)
@@ -208,6 +227,8 @@ object ScalingBench {
     val which = sys.env.getOrElse("SPARK_GRAFT_SCALE_JOB", "all")
     if (which == "all" || which == "window")
       println(s"SCALING ${measure(windowJob, "window_features_asof", nWin, reps).json}")
+    if (which == "fused")
+      println(s"SCALING ${measure(fusedJob, "fused_stack_asof", nWin, reps).json}")
     if (which == "all" || which == "tokens")
       println(s"SCALING ${measure(tokenJob, "tokenize_fingerprint_quality", nTok, reps).json}")
   }
