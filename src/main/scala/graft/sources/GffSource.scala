@@ -29,15 +29,18 @@ object GffSource {
     *  - ID=/Parent=/<attrKey>= regex extraction (core.rs:43-45,112-127).
     */
   def parse(spark: SparkSession, path: String, attrKey: String = "gene_name",
-      skipTypes: Seq[String] = DefaultSkipTypes): DataFrame = {
+      skipTypes: Seq[String] = DefaultSkipTypes, minPartitions: Int = 0): DataFrame = {
     // Total-order line ordinal from the file's own line order: zipWithIndex
     // over the text RDD. Hadoop text splits are contiguous byte ranges in
     // file order, so the index IS the file line number at ANY parallelism —
     // unlike monotonically_increasing_id, which SURVEY.md §1.4 bans for id
     // assignment (partition-layout-dependent). Costs one extra lightweight
     // job (per-partition line counts) at index time only.
+    val src =
+      if (minPartitions > 0) spark.sparkContext.textFile(path, minPartitions)
+      else spark.sparkContext.textFile(path)
     val raw = spark.createDataFrame(
-      spark.sparkContext.textFile(path).zipWithIndex().map { case (v, i) =>
+      src.zipWithIndex().map { case (v, i) =>
         org.apache.spark.sql.Row(i, v)
       },
       org.apache.spark.sql.types.StructType(Seq(

@@ -90,6 +90,22 @@ class GffIndexSpec extends SparkSpec {
     assert(regex == Set("gene2", "ex3"))
   }
 
+  test("fid assignment is reproducible across scan parallelism (SURVEY §1.4: line_no from a total order)") {
+    // same file parsed at 1 vs 7 input splits: line_no (and therefore every
+    // downstream dense id) must be IDENTICAL — the property
+    // monotonically_increasing_id cannot give
+    val p1 = GffSource.parse(spark, s"$dir/test.gff", minPartitions = 1)
+    val p7 = GffSource.parse(spark, s"$dir/test.gff", minPartitions = 7)
+    val m1 = p1.select("id", "line_no").as[(String, Long)].collect().toMap
+    val m7 = p7.select("id", "line_no").as[(String, Long)].collect().toMap
+    assert(m1 == m7 && m1.nonEmpty)
+    val f1 = IndexBuild.build(p1).features.select("id", "fid", "root_fid")
+      .as[(String, Long, Long)].collect().toSet
+    val f7 = IndexBuild.build(p7).features.select("id", "fid", "root_fid")
+      .as[(String, Long, Long)].collect().toSet
+    assert(f1 == f7, "dense fids + closure roots identical at any parallelism")
+  }
+
   test("S5/S6 file front-ends: name/value list files drive extract/search (extract.rs:61-79, search.rs:76-87)") {
     val listDir = Files.createTempDirectory("gfflists").toString
     // whitespace, blank lines, and comment lines must all be dropped
