@@ -32,11 +32,21 @@ object IndexBuild {
   /** Build all index tables from a parsed GFF DataFrame (GffSource.parse). */
   def build(parsed: DataFrame): IndexTables = {
     val spark = parsed.sparkSession
-    // stage 1: dense fid by file order (≙ fid = row ordinal, core.rs:141-144)
-    val wAll = Window.orderBy(col("line_no"))
-    val feats = parsed
-      .withColumn("fid", row_number().over(wAll).cast("long") - 1)
-      .cache()
+    // stage 1: dense fid by file order (≙ fid = row ordinal, core.rs:141-144).
+    // NOT row_number() over an unpartitioned Window — that funnels the whole
+    // corpus through ONE task ("Moving all data to a single partition").
+    // Range-partition on line_no + per-partition zipWithIndex gives the
+    // identical rank fully distributed (partitions are ordered ranges, rows
+    // sorted within, line_no unique -> index == global rank), at the cost of
+    // zipWithIndex's one extra per-partition count job.
+    val sorted = parsed.repartitionByRange(col("line_no"))
+      .sortWithinPartitions(col("line_no"))
+    val featSchema = sorted.schema.add("fid", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val feats = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, featSchema).cache()
 
     // stage 2: entity dictionary in first-appearance order (core.rs:153)
     val entityDict = feats.groupBy(col("seqid"))
