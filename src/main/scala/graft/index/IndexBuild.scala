@@ -48,7 +48,10 @@ object IndexBuild {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
       }, featSchema).cache()
 
-    // stage 2: entity dictionary in first-appearance order (core.rs:153)
+    // stage 2: entity dictionary in first-appearance order (core.rs:153).
+    // The unpartitioned row_number windows below run on POST-AGGREGATION
+    // rows (one per distinct seqid / attr) — dictionary-sized, not
+    // corpus-sized, so the single-partition sort is bounded by construction.
     val entityDict = feats.groupBy(col("seqid"))
       .agg(min(col("line_no")).as("first_ln"))
       .withColumn("entity_id", row_number().over(Window.orderBy(col("first_ln"))).cast("long") - 1)

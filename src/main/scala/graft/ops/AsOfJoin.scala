@@ -51,13 +51,23 @@ object AsOfJoin {
         fVal.map(n => col("__last").getField(n).as(n))): _*)
   }
 
+  /** Hard row cap enforced (by an exact count job) before the broadcast
+    * path collects anything — nothing unbounded ever reaches the driver
+    * (same discipline as IntervalJoin.broadcastImpl).
+    */
+  private val BroadcastMaxRows = 1000000L
+
   /** Broadcast binary-search as-of: feature side collected, per-entity
     * time-sorted; each probe binary-searches the greatest t' <= t.
+    * Guarded: refuses a feature side whose exact row count exceeds the
+    * broadcast cap — use [[windowed]] for two big sides.
     */
   def broadcastPath(probes: DataFrame, feats: DataFrame): DataFrame = {
     val spark = probes.sparkSession
     val fVal = feats.columns.filterNot(Set("entity", "t"))
     val f = feats.select((Seq(col("entity"), col("t")) ++ fVal.map(col)): _*)
+    require(f.count() <= BroadcastMaxRows,
+      s"as-of feature side exceeds $BroadcastMaxRows rows; use AsOfJoin.windowed")
     val fRows = f.collect()
     val byEntity: Map[Any, (Array[Long], Array[Int])] =
       fRows.indices.groupBy(i => fRows(i).get(0)).map { case (e, idxs) =>
