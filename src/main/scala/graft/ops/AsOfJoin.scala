@@ -56,6 +56,23 @@ object AsOfJoin {
     * (same discipline as IntervalJoin.broadcastImpl).
     */
   private val BroadcastMaxRows = 1000000L
+  private val BroadcastMaxPlanBytes = BigInt(256L * 1024 * 1024)
+
+  /** Auto path (same decision shape as IntervalJoin.join): broadcast the
+    * feature side iff it is PROVABLY small — plan-statistics prefilter,
+    * then one exact count of the candidate — else the windowed merge. At
+    * 100 TB the feature side blows the stats ceiling and the join stays
+    * windowed (one shuffle, zero driver traffic).
+    */
+  def join(probes: DataFrame, feats: DataFrame, tiebreak: Option[String] = None): DataFrame = {
+    val statsSmall =
+      feats.queryExecution.optimizedPlan.stats.sizeInBytes <= BroadcastMaxPlanBytes
+    // the broadcast path has no tiebreak semantics knob; only take it when
+    // the default (latest by time, any-dup) semantics were requested
+    if (statsSmall && tiebreak.isEmpty && feats.count() <= BroadcastMaxRows)
+      broadcastPath(probes, feats)
+    else windowed(probes, feats, tiebreak)
+  }
 
   /** Broadcast binary-search as-of: feature side collected, per-entity
     * time-sorted; each probe binary-searches the greatest t' <= t.

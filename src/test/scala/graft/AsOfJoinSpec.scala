@@ -44,6 +44,15 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run(AsOfJoin.broadcastPath(probes, feats)) == oracle)
   }
 
+  test("auto path == brute-force as-of (routes small feature side to broadcast)") {
+    val auto = AsOfJoin.join(probes, feats)
+    assert(run(auto) == oracle)
+    // a provably-small feature side must take the zero-shuffle broadcast
+    // path (mapPartitions plan), not the union-window merge
+    assert(!auto.queryExecution.executedPlan.toString.contains("Window"),
+      "small side should broadcast, not window")
+  }
+
   test("equal timestamps are visible (t'=t counts, zero leakage beyond)") {
     val f = Seq(("e", 100L, 1L), ("e", 200L, 2L)).toDF("entity", "t", "v")
     val p = Seq(("e", 99L, 1L), ("e", 100L, 2L), ("e", 199L, 3L), ("e", 200L, 4L))
