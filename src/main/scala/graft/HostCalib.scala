@@ -1,0 +1,75 @@
+package graft
+
+/** Host ceiling calibration (no Spark): measures how this box's raw
+  * compute and memory-copy throughput scale with thread count, to anchor
+  * the scaling-probe analysis in BASELINE.md. Spark operators live between
+  * the two curves: whole-stage-codegen'd expression work tracks `compute`;
+  * shuffle/sort/WindowExec row traffic tracks `copy` (all threads share
+  * one memory bus on this VM).
+  *
+  * Prints one line per (job, threads): aggregate throughput, plus the
+  * N→4N efficiency pairs (2→8, 8→32) per job. Each thread does identical
+  * independent work; efficiency = thr(4N) / (4 × thr(N)).
+  */
+object HostCalib {
+
+  /** Pure-register compute: splitmix64 mixing, zero memory traffic. */
+  private def computeWork(iters: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      x ^= z ^ (z >>> 31)
+      i += 1
+    }
+    x
+  }
+
+  /** Memory-copy: repeated arraycopy over buffers far larger than LLC. */
+  private def copyWork(reps: Int, words: Int): Long = {
+    val a = new Array[Long](words)
+    val b = new Array[Long](words)
+    var i = 0
+    while (i < reps) {
+      System.arraycopy(a, 0, b, 0, words)
+      System.arraycopy(b, 0, a, 0, words)
+      i += 1
+    }
+    a(0) + b(words - 1)
+  }
+
+  /** Aggregate ops/sec with `n` threads each running `work` once. */
+  private def throughput(n: Int, unitOps: Double)(work: => Long): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until n).map { _ =>
+      val t = new Thread(() => { sink.addAndGet(work); () })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    n * unitOps / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val threads = Seq(2, 8, 32)
+    val computeIters = 600000000L
+    val copyReps = 40
+    val copyWords = 32 << 20 // 256 MiB per buffer, 2 buffers per thread
+    def run(name: String, unitOps: Double)(work: => Long): Map[Int, Double] = {
+      // warmup (JIT) then measure, low->high thread counts
+      throughput(2, unitOps)(work)
+      threads.map { n =>
+        val thr = throughput(n, unitOps)(work)
+        println(f"CALIB job=$name threads=$n aggregate_ops_per_sec=$thr%.3e")
+        n -> thr
+      }.toMap
+    }
+    val comp = run("compute", computeIters.toDouble)(computeWork(computeIters))
+    val copy = run("copy", 2.0 * copyReps * copyWords * 8)(copyWork(copyReps, copyWords))
+    for ((name, m) <- Seq("compute" -> comp, "copy" -> copy); (a, b) <- Seq((2, 8), (8, 32)))
+      println(f"CALIB job=$name pair=${a}->${b} efficiency=${m(b) / (4.0 * m(a))}%.3f")
+  }
+}

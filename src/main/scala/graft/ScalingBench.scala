@@ -146,6 +146,21 @@ object ScalingBench {
     def efficiency: Double =
       if (ScalingBench.weak) smallSec / bigSec
       else (smallSec / bigSec) / (ScalingBench.nBig.toDouble / ScalingBench.nSmall)
+    /** Second estimator: median of per-rep small/big ratios. Arms alternate
+      * (small_k runs adjacent to big_k), so slow-host periods hit both runs
+      * of a rep and CANCEL in the ratio — robust to the ±40% wall-clock
+      * drift this box shows across hours, where independent per-arm medians
+      * can pair a slow small rep with a fast big rep. Both ship; read them
+      * together.
+      */
+    def efficiencyPaired: Double = {
+      val ratios = smallRaw.zip(bigRaw).map { case (s, b) => s / b }.sorted
+      val m =
+        if (ratios.isEmpty) smallSec / bigSec
+        else if (ratios.length % 2 == 1) ratios(ratios.length / 2)
+        else (ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2.0
+      if (ScalingBench.weak) m else m / (ScalingBench.nBig.toDouble / ScalingBench.nSmall)
+    }
     def json: String =
       s"""{"job":"$job","mode":"${if (ScalingBench.weak) "weak" else "strong"}",
          |"rows_in":$rowsIn,"rows_out":$rowsOut,
@@ -154,7 +169,8 @@ object ScalingBench {
          |"big_raw":${bigRaw.mkString("[", ",", "]")},
          |"small_sec":$smallSec,"big_sec":$bigSec,
          |"small_rows_per_sec":${rowsIn / smallSec},"big_rows_per_sec":${rowsIn / bigSec},
-         |"speedup":${smallSec / bigSec},"efficiency":$efficiency}"""
+         |"speedup":${smallSec / bigSec},"efficiency":$efficiency,
+         |"efficiency_paired":$efficiencyPaired}"""
         .stripMargin.replace("\n", "")
   }
 
