@@ -234,7 +234,36 @@ object GffQueries {
        | ON p.entity = f.entity AND f.f_start < p.p_end AND f.f_end > p.p_start
        |GROUP BY p.probe_id""".stripMargin
 
+  // q42 — S2 BED region scan through REAL text files: BED lines rendered
+  // from orders (with comment lines, malformed coordinates, and extra BED
+  // columns baked in), written to disk, re-read by GffSource.readBed
+  // (whitespace split, cast->null->filter, start<end; intersect.rs:201-230).
+  val q42: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bed_q42").toString + "/bed"
+    val lines = Views.table(s, d, "orders").where(col("o_orderkey") % 25 === 0)
+      .select(
+        when(col("o_orderkey") % 250 === 0, lit("# browser position chr1"))
+          .when(col("o_orderkey") % 125 === 0,
+            concat_ws("\t", concat(lit("chr"), (col("o_orderkey") % 5).cast("string")),
+              lit("oops"), lit("10"))) // non-numeric start -> dropped
+          .otherwise(concat_ws("\t",
+            concat(lit("chr"), (col("o_orderkey") % 5).cast("string")),
+            ((col("o_orderkey") * 11) % 100000).cast("string"),
+            ((col("o_orderkey") * 11) % 100000 + 1 + col("o_custkey") % 50).cast("string"),
+            lit("feat"), lit("0"), lit("+"))) // extra BED columns ignored
+          .as("value"))
+    lines.write.mode("overwrite").text(dir)
+    GffSource.readBed(s, dir)
+  }
+
+  val q42Sql: String =
+    """SELECT 'chr' || CAST(o_orderkey % 5 AS VARCHAR) AS seqid,
+      | (o_orderkey*11) % 100000 AS "start",
+      | (o_orderkey*11) % 100000 + 1 + (o_custkey % 50) AS "end"
+      |FROM orders WHERE o_orderkey % 25 = 0 AND o_orderkey % 125 <> 0""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q42_bed_scan" -> q42,
     "q32_gff_index" -> q32,
     "q33_gff_extract" -> q33,
     "q34_gff_search_regex" -> q34,
@@ -242,6 +271,7 @@ object GffQueries {
     "q36_bulk_probe_overlap" -> q36)
 
   val oracles: Map[String, String] = Map(
+    "q42_bed_scan" -> q42Sql,
     "q32_gff_index" -> q32Sql,
     "q33_gff_extract" -> q33Sql,
     "q34_gff_search_regex" -> q34Sql,

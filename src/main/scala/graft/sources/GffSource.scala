@@ -66,13 +66,16 @@ object GffSource {
         col("p").getItem(0).as("seqid"),
         col("p").getItem(1).as("source"),
         col("p").getItem(2).as("ftype"),
-        col("p").getItem(3).cast("long").as("raw_start"),
-        col("p").getItem(4).cast("long").as("raw_end"),
+        // try_cast, not cast: under ANSI mode (Spark 4 default) a malformed
+        // coordinate would THROW; the contract is cast->null->filter (P8)
+        expr("try_cast(p[3] AS LONG)").as("raw_start"),
+        expr("try_cast(p[4] AS LONG)").as("raw_end"),
         col("p").getItem(5).as("score"),
         col("p").getItem(6).as("strand"),
         col("p").getItem(7).as("phase"),
         col("p").getItem(8).as("attrs"))
       .where(!col("ftype").isin(skipTypes: _*))
+      .where(col("raw_start").isNotNull && col("raw_end").isNotNull) // P8 checked parse
       .where(col("raw_end") =!= 0) // end==0 dropped (core.rs:104-106)
       // swap reversed coords, then 1-closed -> 0-half-open
       .withColumn("start", least(col("raw_start"), col("raw_end")) - 1)
@@ -105,8 +108,8 @@ object GffSource {
       .where(size(col("p")) >= 3)
       .select(
         col("p").getItem(0).as("seqid"),
-        col("p").getItem(1).cast("long").as("start"),
-        col("p").getItem(2).cast("long").as("end"))
+        expr("try_cast(p[1] AS LONG)").as("start"),
+        expr("try_cast(p[2] AS LONG)").as("end"))
       .where(col("start").isNotNull && col("end").isNotNull && col("start") < col("end"))
 
   /** S5 — feature-name list file: one name per line, trimmed, blanks and

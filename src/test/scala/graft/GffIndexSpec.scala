@@ -26,6 +26,7 @@ class GffIndexSpec extends SparkSpec {
       |chr2	src	gene	50	60	.	+	.	ID=gene3;gene_name=alpha
       |chr2	src	region	1	1000	.	+	.	ID=reg1
       |chr2	src	exon	0	0	.	+	.	ID=exz;Parent=gene3
+      |chr2	src	exon	abc	99	.	+	.	ID=exbad;Parent=gene3
       |chr2	src	exon	55	58	.	+	.	ID=ex4;Parent=ghost
       |""".stripMargin
 
@@ -42,6 +43,7 @@ class GffIndexSpec extends SparkSpec {
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(!rows.contains("reg1"), "type 'region' is in skip_types")
     assert(!rows.keySet.exists(_ == "exz"), "end==0 dropped")
+    assert(!rows.contains("exbad"), "malformed coordinate dropped (P8 try_cast, not ANSI throw)")
     assert(rows("gene1") == ((99L, 500L)), "1-closed -> 0-half-open")
     assert(rows("ex3") == ((699L, 900L)), "swapped start/end normalized")
   }
