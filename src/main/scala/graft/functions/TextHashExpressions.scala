@@ -108,6 +108,46 @@ object TextHash {
     out
   }
 
+  /** One-pass MinHash lanes over char n-gram shingles: lane i = min over
+    * all shingles s of the 8-hex-char slice (i%4) of md5("${i/4}:" ++ s) —
+    * EXACTLY Dedup.mhLane's formula (lowercase hex string min == unsigned
+    * 32-bit min, so the min is computed numerically and formatted once at
+    * the end). Duplicate shingles cannot change a min, so the declarative
+    * path's array_distinct + explode + groupBy(min) collapses into this
+    * single narrow map: ceil(k/4) md5s per shingle position, zero shuffle.
+    * ASCII contract as above (byte positions == char positions).
+    */
+  def minHashLanes(bytes: Array[Byte], n: Int, k: Int): Array[UTF8String] = {
+    val md = mdLocal.get()
+    val nSalts = (k + 3) / 4
+    val mins = Array.fill(k)(0x1FFFFFFFFL) // > any unsigned 32-bit lane
+    val count = math.max(bytes.length - n + 1, 1)
+    val salts = Array.tabulate(nSalts)(s => s"$s:".getBytes("UTF-8"))
+    var i = 0
+    while (i < count) {
+      val len = math.min(n, bytes.length - i) // short-text single shingle
+      var s = 0
+      while (s < nSalts) {
+        md.reset()
+        md.update(salts(s))
+        md.update(bytes, i, len)
+        val dg = md.digest()
+        var lane = 0
+        while (lane < 4 && s * 4 + lane < k) {
+          val o = lane * 4
+          val v = ((dg(o) & 0xffL) << 24) | ((dg(o + 1) & 0xffL) << 16) |
+            ((dg(o + 2) & 0xffL) << 8) | (dg(o + 3) & 0xffL)
+          val idx = s * 4 + lane
+          if (v < mins(idx)) mins(idx) = v
+          lane += 1
+        }
+        s += 1
+      }
+      i += 1
+    }
+    mins.map(v => UTF8String.fromString(f"${v}%08x"))
+  }
+
   import org.apache.spark.sql.graftx.Bridge
   def token_hash_all(c: Column): Column =
     Bridge.column(TokenHashAllExpr(Bridge.expression(c)))
@@ -115,6 +155,8 @@ object TextHash {
     Bridge.column(FingerprintExpr(Bridge.expression(c)))
   def sim_hash(c: Column, bits: Int): Column =
     Bridge.column(SimHashExpr(Bridge.expression(c), bits))
+  def min_hash_lanes(c: Column, n: Int, k: Int): Column =
+    Bridge.column(MinHashLanesExpr(Bridge.expression(c), n, k))
 }
 
 case class TokenHashAllExpr(child: Expression) extends UnaryExpression {
@@ -170,6 +212,21 @@ case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simHash($c.getBytes(), $bits)")
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+case class MinHashLanesExpr(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  require(n >= 1 && k >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHash.minHashLanes(input.asInstanceOf[UTF8String].getBytes, n, k)
+        .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHash.minHashLanes($c.getBytes(), $n, $k))")
+  override protected def withNewChildInternal(newChild: Expression): MinHashLanesExpr =
     copy(child = newChild)
 }
 

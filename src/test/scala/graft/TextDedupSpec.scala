@@ -48,6 +48,16 @@ class TextDedupSpec extends SparkSpec {
       "unrelated tiny doc should not pair with everything")
   }
 
+  test("fused minhash signatures == declarative distinct-shingle spec (incl. short/empty text)") {
+    val edge = docs.select("doc_id", "text")
+      .unionByName(Seq((100L, ""), (101L, "abc"), (102L, "abcd!")).toDF("doc_id", "text"))
+    val spec = Dedup.minHashSignatures(Dedup.shingles(edge, "doc_id", "text", 5), "doc_id", 8)
+      .collect().map(_.toSeq).toSet
+    val fused = Dedup.minHashSignaturesFused(edge, "doc_id", "text", 5, 8)
+      .collect().map(_.toSeq).toSet
+    assert(fused == spec)
+  }
+
   test("simhash: identical docs get identical signatures; signature in [0, 2^16)") {
     val s = Dedup.simHash(docs, "doc_id", "text", 16)
       .as[(Long, Long)].collect().toMap
