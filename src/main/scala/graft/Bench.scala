@@ -54,10 +54,14 @@ object Bench {
 
   /** Run graft.ScalingBench in a fresh JVM (same flags/classpath as this
     * one) for ONE job; returns the `SCALING {json}` payload. Falls back to
-    * in-process measurement if the spawn fails.
+    * in-process local-deploy measurement if the spawn fails or times out.
     */
-  private def scalingIsolated(job: String, rows: Long, reps: Int): String = {
+  private def scalingIsolated(job: String, rows: Long, reps: Int,
+      deploy: String): String = {
     val inProcess = () => {
+      // a failed cluster-shape spawn must not fall back into cluster mode
+      // in-process (the same failure would recur) — force local threads
+      sys.props("graft.scale.mode") = "local"
       val (fn, n) =
         if (job == "window") (ScalingBench.windowJob _, rows)
         else (ScalingBench.tokenJob _, rows)
@@ -76,24 +80,43 @@ object Bench {
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_SCALE_JOB", job)
       pb.environment().put("SPARK_GRAFT_SCALE_REPS", reps.toString)
+      pb.environment().put("SPARK_GRAFT_MODE", deploy)
+      // cluster-shape probes launch executor JVMs through the worker's
+      // command builder, which needs the scala version normally exported
+      // by spark-class's load-spark-env.sh
+      pb.environment().put("SPARK_SCALA_VERSION", "2.13")
       pb.environment().put(
-        if (job == "window") "SPARK_GRAFT_SCALE_ROWS" else "SPARK_GRAFT_SCALE_DOCS",
+        if (job == "tokens") "SPARK_GRAFT_SCALE_DOCS"
+        else if (job == "skew") "SPARK_GRAFT_SCALE_SKEW_ROWS"
+        else "SPARK_GRAFT_SCALE_ROWS",
         rows.toString)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
-      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
-      val rc = proc.waitFor()
-      out.find(_.startsWith("SCALING ")) match {
+      // drain stdout on a thread so a hung probe can be killed by timeout
+      val outRef = new java.util.concurrent.atomic.AtomicReference[List[String]](Nil)
+      val drain = new Thread(() => outRef.set(
+        scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList))
+      drain.setDaemon(true)
+      drain.start()
+      val done = proc.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); proc.waitFor() }
+      drain.join(10000)
+      val rc = proc.exitValue()
+      outRef.get().find(_.startsWith("SCALING ")) match {
         case Some(line) if rc == 0 => line.stripPrefix("SCALING ")
+        case _ if job == "skew" =>
+          System.err.println(s"[bench] skew probe failed (rc=$rc, done=$done); skipping")
+          """{"job":"skew_hot_entity","error":"probe failed"}"""
         case _ =>
-          System.err.println(s"[bench] isolated scaling probe '$job' failed (rc=$rc); " +
-            "falling back to in-process measurement")
+          System.err.println(s"[bench] isolated scaling probe '$job' failed (rc=$rc, " +
+            s"done=$done); falling back to in-process local measurement")
           inProcess()
       }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] subprocess spawn failed: $e; in-process fallback")
-        inProcess()
+        if (job == "skew") """{"job":"skew_hot_entity","error":"spawn failed"}"""
+        else inProcess()
     }
   }
 
@@ -135,21 +158,35 @@ object Bench {
             .collect()
         } catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       }
+      // incremental per-query audit line: the final JSON line is at the
+      // mercy of the driver's tail capture (BENCH_r02 lost q01-q12 to a
+      // mid-JSON truncation) — stderr carries each timing as it lands
+      System.err.println(f"[bench] $name t=$dt%.3f s")
       name -> dt
     }
     s1.stop()
     ScalingBench.cleanDir(BenchSpillDir) // leftover tmpfs skews part 2
 
-    // part 2: N->4N scaling probes, one fresh JVM per job (arms default
-    // 2 vs 8 cores; full methodology + ceiling analysis in BASELINE.md)
+    // part 2: N->4N scaling probes, one fresh JVM per job. Default deploy
+    // is `cluster` — local-cluster[N,1,4608]: N vs 4N single-core executor
+    // JVMs, the literal north_rule shape (ScalingBench.session scaladoc);
+    // SPARK_GRAFT_SCALE_MODE=local restores the thread-arm probes.
+    val deploy = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "cluster")
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
-    val w = scalingIsolated("window", scaleN, reps)
-    val t = scalingIsolated("tokens", scaleDocs, reps)
+    val scaleSkew = sys.env.getOrElse("SPARK_GRAFT_SCALE_SKEW_ROWS", "4000000").toLong
+    // cluster deploy warms EVERY rep (fresh executor JVMs per session), so
+    // each rep costs ~2 full runs per arm — 3 reps keeps part 2 under
+    // ~20 min while still giving a median over warmed steady-state runs
+    val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt)
+      .getOrElse(if (deploy == "cluster") 3 else 5)
+    val w = scalingIsolated("window", scaleN, reps, deploy)
+    val t = scalingIsolated("tokens", scaleDocs, reps, deploy)
+    val sk = scalingIsolated("skew", scaleSkew, reps, "local")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"window":$w,"tokens":$t}}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"window":$w,"tokens":$t,"skew":$sk}}""")
   }
 }

@@ -53,6 +53,26 @@ object HostCalib {
     n * unitOps / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** Reusable N→4N ceiling measurement for ONE job class ("compute" |
+    * "copy") at the given thread pair — the per-run calibration the
+    * scaling probe ships inside its JSON (VERDICT r2 #1: emit the ceiling
+    * next to the measured efficiency instead of pointing at BASELINE.md).
+    * Smaller work sizes than [[main]] (seconds, not minutes); same curves.
+    */
+  def pairEfficiency(job: String, nSmall: Int, nBig: Int): Double = {
+    val computeIters = 300000000L
+    val copyReps = 20
+    val copyWords = 16 << 20 // 128 MiB per buffer
+    def work(): Long =
+      if (job == "compute") computeWork(computeIters) else copyWork(copyReps, copyWords)
+    val unitOps =
+      if (job == "compute") computeIters.toDouble else 2.0 * copyReps * copyWords * 8
+    throughput(2, unitOps)(work()) // JIT warmup
+    val thrS = throughput(nSmall, unitOps)(work())
+    val thrB = throughput(nBig, unitOps)(work())
+    thrB / ((nBig.toDouble / nSmall) * thrS)
+  }
+
   def main(args: Array[String]): Unit = {
     val threads = Seq(2, 8, 32)
     val computeIters = 600000000L

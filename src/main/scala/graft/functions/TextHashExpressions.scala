@@ -115,9 +115,34 @@ object TextHash {
     * the end). Duplicate shingles cannot change a min, so the declarative
     * path's array_distinct + explode + groupBy(min) collapses into this
     * single narrow map: ceil(k/4) md5s per shingle position, zero shuffle.
-    * ASCII contract as above (byte positions == char positions).
+    *
+    * Shingles are CHARACTER n-grams (the Dedup.shingles `substring` spec).
+    * The hot loop walks raw bytes, which equals character offsets only for
+    * ASCII — so non-ASCII input is DETECTED (one branchy scan that the
+    * ASCII fast path pays almost nothing for) and routed to a codepoint-
+    * sliced fallback instead of silently shingling by byte offsets
+    * (ADVICE r2: the ASCII contract was documented but never enforced).
     */
   def minHashLanes(bytes: Array[Byte], n: Int, k: Int): Array[UTF8String] = {
+    var ascii = true
+    var j = 0
+    while (ascii && j < bytes.length) { if ((bytes(j) & 0x80) != 0) ascii = false; j += 1 }
+    if (ascii) minHashLanesAscii(bytes, n, k)
+    else {
+      // codepoint path: shingle i = codepoints [i, i+n) re-encoded UTF-8 —
+      // identical to `substring(text, i, n)` semantics for any input
+      val cps = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
+      val count = math.max(cps.length - n + 1, 1)
+      val shingles = Array.tabulate(count) { i =>
+        val len = math.min(n, cps.length - i)
+        new String(cps, i, len).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+      minHashLanesOver(shingles, k)
+    }
+  }
+
+  private def minHashLanesAscii(bytes: Array[Byte], n: Int, k: Int): Array[UTF8String] = {
     val md = mdLocal.get()
     val nSalts = (k + 3) / 4
     val mins = Array.fill(k)(0x1FFFFFFFFL) // > any unsigned 32-bit lane
@@ -131,6 +156,35 @@ object TextHash {
         md.reset()
         md.update(salts(s))
         md.update(bytes, i, len)
+        val dg = md.digest()
+        var lane = 0
+        while (lane < 4 && s * 4 + lane < k) {
+          val o = lane * 4
+          val v = ((dg(o) & 0xffL) << 24) | ((dg(o + 1) & 0xffL) << 16) |
+            ((dg(o + 2) & 0xffL) << 8) | (dg(o + 3) & 0xffL)
+          val idx = s * 4 + lane
+          if (v < mins(idx)) mins(idx) = v
+          lane += 1
+        }
+        s += 1
+      }
+      i += 1
+    }
+    mins.map(v => UTF8String.fromString(f"${v}%08x"))
+  }
+
+  private def minHashLanesOver(shingles: Array[Array[Byte]], k: Int): Array[UTF8String] = {
+    val md = mdLocal.get()
+    val nSalts = (k + 3) / 4
+    val mins = Array.fill(k)(0x1FFFFFFFFL)
+    val salts = Array.tabulate(nSalts)(s => s"$s:".getBytes("UTF-8"))
+    var i = 0
+    while (i < shingles.length) {
+      var s = 0
+      while (s < nSalts) {
+        md.reset()
+        md.update(salts(s))
+        md.update(shingles(i))
         val dg = md.digest()
         var lane = 0
         while (lane < 4 && s * 4 + lane < k) {

@@ -27,7 +27,8 @@ object IndexBuild {
       entityDict: DataFrame, // seqid -> entity_id (first-appearance order, core.rs:153,171-176)
       attrDict: DataFrame, // attr -> aid (u32::MAX null sentinel -> SQL null)
       groupExtents: DataFrame, // root_fid -> n, min line_no, max line_no, min start, max end
-      intervals: DataFrame) // entity_id, start, end, root_fid (≙ tree payload tree.rs:6-10)
+      intervals: DataFrame, // entity_id, start, end, root_fid (≙ tree payload tree.rs:6-10)
+      releaseScratch: () => Unit = () => ()) // frees the BUILD-time caches (stage-1 feats + closure rounds); call once the tables themselves are cached/persisted
 
   /** Build all index tables from a parsed GFF DataFrame (GffSource.parse). */
   def build(parsed: DataFrame): IndexTables = {
@@ -72,7 +73,8 @@ object IndexBuild {
         Seq("parent"), "left")
       .select(col("fid").as("id"),
         coalesce(col("parent_fid"), col("fid")).as("parent"))
-    val roots = Closure.resolveRoots(edges)
+    val (rootsRaw, releaseClosure) = Closure.resolveRootsReleasable(edges)
+    val roots = rootsRaw
       .withColumnRenamed("id", "fid").withColumnRenamed("root", "root_fid")
 
     val full = feats
@@ -97,7 +99,12 @@ object IndexBuild {
       .repartitionByRange(col("entity_id"), col("start"))
       .sortWithinPartitions(col("entity_id"), col("start"))
 
-    IndexTables(full, entityDict, attrDict, groupExtents, intervals)
+    IndexTables(full, entityDict, attrDict, groupExtents, intervals,
+      // build-time scratch: the stage-1 feats cache + the closure rounds'
+      // caches. Callers that cache/persist the returned tables should call
+      // this afterwards — every plan above reads THROUGH these caches, so
+      // releasing early just means recomputing the parse on next use
+      releaseScratch = () => { feats.unpersist(false); releaseClosure() })
   }
 
   /** Persist index tables as partitioned parquet + a JSON manifest

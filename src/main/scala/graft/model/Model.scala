@@ -89,6 +89,26 @@ object Synth {
       .select(col("id").as("probe_id"), col("entity"), col("start"), col("end"))
   }
 
+  /** F3b `skewed probes` — hot-entity long-tail fixture: HALF of all rows
+    * land on one entity ("e00"), the rest spread over `nEntities - 1`
+    * (the skew-handling measurement input; reference analog: one
+    * chromosome holding half the reads, depth.rs:29-31).
+    */
+  def skewedProbes(spark: SparkSession, n: Long, nEntities: Int = 64,
+      coordRange: Long = 100000L, seed: Long = 7L): DataFrame = {
+    val h1 = xxhash64(col("id"), lit(seed))
+    val h2 = xxhash64(col("id"), lit(seed + 1))
+    val he = xxhash64(col("id"), lit(seed + 2))
+    spark.range(n)
+      .withColumn("entity",
+        when(pmod(he, lit(2)) === 0, lit("e00"))
+          .otherwise(format_string("e%02d",
+            (pmod(he, lit((nEntities - 1).toLong)) + 1).cast("int"))))
+      .withColumn("start", pmod(h1, lit(coordRange)))
+      .withColumn("end", col("start") + 1 + pmod(h2, lit(300L)))
+      .select(col("id").as("probe_id"), col("entity"), col("start"), col("end"))
+  }
+
   /** F4 `events` — feature-engineering side with seeded jitter, duplicate
     * timestamps and injected nulls (backfill tests).
     */

@@ -68,9 +68,12 @@ object AsOfJoin {
     val statsSmall =
       feats.queryExecution.optimizedPlan.stats.sizeInBytes <= BroadcastMaxPlanBytes
     // the broadcast path has no tiebreak semantics knob; only take it when
-    // the default (latest by time, any-dup) semantics were requested
+    // the default (latest by time, any-dup) semantics were requested.
+    // The exact count is computed ONCE and threaded into the guarded impl
+    // (ADVICE r2: the public broadcastPath's require re-ran the count job,
+    // a redundant full scan of the feature side per auto join).
     if (statsSmall && tiebreak.isEmpty && feats.count() <= BroadcastMaxRows)
-      broadcastPath(probes, feats)
+      broadcastChecked(probes, feats)
     else windowed(probes, feats, tiebreak)
   }
 
@@ -80,11 +83,16 @@ object AsOfJoin {
     * broadcast cap — use [[windowed]] for two big sides.
     */
   def broadcastPath(probes: DataFrame, feats: DataFrame): DataFrame = {
+    require(feats.count() <= BroadcastMaxRows,
+      s"as-of feature side exceeds $BroadcastMaxRows rows; use AsOfJoin.windowed")
+    broadcastChecked(probes, feats)
+  }
+
+  /** [[broadcastPath]] body, row cap ALREADY verified by the caller. */
+  private def broadcastChecked(probes: DataFrame, feats: DataFrame): DataFrame = {
     val spark = probes.sparkSession
     val fVal = feats.columns.filterNot(Set("entity", "t"))
     val f = feats.select((Seq(col("entity"), col("t")) ++ fVal.map(col)): _*)
-    require(f.count() <= BroadcastMaxRows,
-      s"as-of feature side exceeds $BroadcastMaxRows rows; use AsOfJoin.windowed")
     val fRows = f.collect()
     val byEntity: Map[Any, (Array[Long], Array[Int])] =
       fRows.indices.groupBy(i => fRows(i).get(0)).map { case (e, idxs) =>

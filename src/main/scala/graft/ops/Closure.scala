@@ -17,11 +17,29 @@ object Closure {
 
   /** edges: (`id`, `parent`); parent == id or null marks a root.
     * Returns (`id`, `root`).
+    *
+    * The FINAL round's cache stays pinned to serve the returned plan
+    * (without it, each downstream action recomputes the self-join chain —
+    * 2^rounds scans). Callers that materialize the result elsewhere should
+    * use [[resolveRootsReleasable]] and release it.
     */
-  def resolveRoots(edges: DataFrame, maxRounds: Int = 10): DataFrame = {
+  def resolveRoots(edges: DataFrame, maxRounds: Int = 10): DataFrame =
+    resolveRootsReleasable(edges, maxRounds)._1
+
+  /** [[resolveRoots]] plus a release thunk that unpersists the final
+    * round's cache — call it AFTER the result has been materialized
+    * downstream (ADVICE r2: the terminal cache otherwise pins a
+    * corpus-sized edge table in executor storage for the session).
+    */
+  def resolveRootsReleasable(edges: DataFrame, maxRounds: Int = 10): (DataFrame, () => Unit) = {
     val base = edges.select(col("id"), coalesce(col("parent"), col("id")).as("root"))
     // ids present in the table; a parent pointing outside resolves to itself
     var cur = base
+    // handle to the PLAN that .cache() registered: unpersist must be called
+    // on that exact plan — calling it on a Project over it (e.g. the
+    // .drop("__chg") view) matches nothing in the CacheManager and leaks
+    // every round's cache (ADVICE r2, medium)
+    var cached: DataFrame = null
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -35,11 +53,13 @@ object Closure {
           (coalesce(col("b.root"), col("a.root")) =!= col("a.root")).as("__chg"))
         .cache()
       val changed = next.where(col("__chg")).limit(1).count()
-      cur.unpersist(false)
+      if (cached != null) cached.unpersist(false)
+      cached = next
       cur = next.drop("__chg")
       converged = changed == 0
       round += 1
     }
-    cur
+    val finalCache = cached
+    (cur, () => if (finalCache != null) { finalCache.unpersist(false); () })
   }
 }

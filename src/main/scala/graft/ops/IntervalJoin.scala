@@ -94,9 +94,12 @@ object IntervalJoin {
     else {
       val pCnt = if (pSmall) probes.count() else Long.MaxValue
       val fCnt = if (fSmall) feats.count() else Long.MaxValue
+      // count verified HERE once; the checked impl skips the re-count the
+      // public broadcast entry points run for direct callers (ADVICE r2)
       if (math.min(pCnt, fCnt) > BroadcastMaxRows) binnedJoin(probes, feats, mode, binSize)
-      else if (pCnt <= fCnt) broadcastJoinProbeSide(probes, feats, mode)
-      else broadcastJoin(probes, feats, mode)
+      else if (pCnt <= fCnt)
+        broadcastImpl(prep(probes, "p"), prep(feats, "f"), mode, buildIsFeature = false)
+      else broadcastImpl(prep(probes, "p"), prep(feats, "f"), mode, buildIsFeature = true)
     }
   }
 
@@ -130,23 +133,30 @@ object IntervalJoin {
     * whose exact row count exceeds the broadcast cap — use [[join]] (auto)
     * or [[binnedJoin]] for two big sides.
     */
-  def broadcastJoin(probes: DataFrame, feats: DataFrame, mode: OverlapMode): DataFrame =
+  def broadcastJoin(probes: DataFrame, feats: DataFrame, mode: OverlapMode): DataFrame = {
+    require(feats.count() <= BroadcastMaxRows,
+      s"broadcast side exceeds $BroadcastMaxRows rows; use binnedJoin/join(auto)")
     broadcastImpl(prep(probes, "p"), prep(feats, "f"), mode, buildIsFeature = true)
+  }
 
   /** Path 1 swapped — broadcast the PROBE side, stream the feature side
     * (the reference's small-query-list shape, intersect.rs:172-230: a
     * handful of regions against a huge corpus — zero shuffle of the corpus).
     */
-  def broadcastJoinProbeSide(probes: DataFrame, feats: DataFrame, mode: OverlapMode): DataFrame =
+  def broadcastJoinProbeSide(probes: DataFrame, feats: DataFrame, mode: OverlapMode): DataFrame = {
+    require(probes.count() <= BroadcastMaxRows,
+      s"broadcast side exceeds $BroadcastMaxRows rows; use binnedJoin/join(auto)")
     broadcastImpl(prep(probes, "p"), prep(feats, "f"), mode, buildIsFeature = false)
+  }
 
+  /** Broadcast body — the build side's row cap was ALREADY verified by the
+    * caller (public entry points re-check; [[join]] reuses its own count).
+    */
   private def broadcastImpl(p: DataFrame, f: DataFrame, mode: OverlapMode,
       buildIsFeature: Boolean): DataFrame = {
     val build = if (buildIsFeature) f else p
     val stream = if (buildIsFeature) p else f
     val spark = stream.sparkSession
-    require(build.count() <= BroadcastMaxRows,
-      s"broadcast side exceeds $BroadcastMaxRows rows; use binnedJoin/join(auto)")
     val bRows: Array[Row] = build.collect()
     val byEntity: Map[Any, IntervalIndex] =
       bRows.indices.groupBy(i => bRows(i).get(0)).map { case (e, idxs) =>

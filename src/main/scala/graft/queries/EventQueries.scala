@@ -210,7 +210,10 @@ object EventQueries {
   val q41: Q = (s, d) => {
     val e = Views.eventsV(s, d)
       .withColumn("bucket", concat(lit("b"), (col("user_id") % 8).cast("string")))
-    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_q41").toString
+    // stable per-(JVM, sf-dir) scratch: a second invocation in the same JVM
+    // finds every bucket committed and exercises the RESUME path (skip all,
+    // read back) instead of leaking a fresh temp dir per call
+    val out = Views.scratchDir("ckpt_q41", d)
     val buckets = (0 until 8).map("b" + _)
     graft.runtime.Checkpoint.runPartitioned(e, "bucket", buckets, out, "t")
     graft.runtime.Checkpoint.readCommitted(s, out, "bucket", buckets)

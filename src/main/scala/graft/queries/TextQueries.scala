@@ -125,13 +125,14 @@ object TextQueries {
       |SELECT qid, nid, rank, cos FROM r WHERE rank <= 5""".stripMargin
 
   // q25 — banded multi-table ANN top-3 (12 tables x 4 sign-test bits,
-  // OR-construction; recall vs the exact baseline measured by q37).
+  // OR-construction) with query-side Hamming-1 MULTI-PROBE; recall vs the
+  // exact baseline measured by q37.
   private val AnnBandBits = 4
   private val AnnBands = 12
 
   val q25: Q = (s, d) =>
     Similarity.cosineKnnLshBanded(Views.table(s, d, "embeddings"), "vec_id", "embedding",
-      "vec_id % 40 = 0", 3, AnnBandBits, AnnBands, 64)
+      "vec_id % 40 = 0", 3, AnnBandBits, AnnBands, 64, multiProbe = true)
 
   /** DuckDB twin of Similarity.lshBucketExpr for band `g`. */
   private def duckBand(g: Int): String =
@@ -151,7 +152,8 @@ object TextQueries {
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
        |  list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2 FROM embeddings),
        |bands AS ($bandSelects),
-       |qb AS (SELECT vec_id AS qid, g, bkt FROM bands WHERE vec_id % 40 = 0),
+       |qb AS (SELECT vec_id AS qid, g, xor(bkt, m) AS bkt
+       |  FROM bands, UNNEST([0, 1, 2, 4, 8]) AS t(m) WHERE vec_id % 40 = 0),
        |pairs AS (SELECT DISTINCT qb.qid, nb.vec_id AS nid
        |  FROM qb JOIN bands nb ON nb.g = qb.g AND nb.bkt = qb.bkt AND nb.vec_id <> qb.qid),
        |ls AS (SELECT p.qid, p.nid, list_inner_product(q.emb, n.emb) / sqrt(q.n2 * n.n2) AS cos
@@ -177,7 +179,7 @@ object TextQueries {
     val brute = Similarity.cosineKnnBrute(emb, "vec_id", "embedding", "vec_id % 40 = 0", 3)
       .select("qid", "nid")
     val lsh = Similarity.cosineKnnLshBanded(emb, "vec_id", "embedding",
-      "vec_id % 40 = 0", 3, AnnBandBits, AnnBands, 64)
+      "vec_id % 40 = 0", 3, AnnBandBits, AnnBands, 64, multiProbe = true)
       .select("qid", "nid")
     val hits = brute.join(lsh, Seq("qid", "nid"), "left_semi")
     brute.agg(countDistinct(col("qid")).as("n_queries"))

@@ -76,21 +76,31 @@ object Checkpoint {
     if (pending.isEmpty) return RunReport(Nil, skipped)
     val part = df.where(col(bucketCol).isin(pending: _*))
     val t0 = System.nanoTime()
-    // TWO jobs TOTAL over the input, however many buckets are pending
-    // (round 1 ran a write job + an agg job PER bucket — 2N scans):
+    // The INPUT plan is computed exactly ONCE (round 1 ran a write job +
+    // an agg job PER bucket — 2N full computations; round 2 still
+    // recomputed the whole upstream plan a second time for the stats):
     //  1. one partitioned write of every pending bucket; dynamic partition
     //     overwrite leaves already-committed partition dirs untouched;
-    //  2. one grouped stats pass feeding every manifest.
+    //  2. one grouped stats pass over the JUST-WRITTEN parquet — a
+    //     column-pruned scan of (bucketCol partition value, timeCol) from
+    //     fresh footers, not a re-run of the upstream pipeline. Reading
+    //     back what landed also makes the manifest stats lineage of the
+    //     OUTPUT, which is what a resume check wants to trust.
     // Manifests still commit atomically AFTER the data lands, so a crash
     // between the two leaves no manifest and the rerun converges.
     part.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(bucketCol)
       .parquet(outDir)
-    val stats = part
-      .groupBy(col(bucketCol).cast("string").as("__b"))
-      .agg(count(lit(1)), min(col(timeCol)), max(col(timeCol)))
-      .collect().map(r => r.getString(0) -> r).toMap
+    val spark = df.sparkSession
+    val writtenPaths = pending.map(b => s"$outDir/$bucketCol=$b")
+      .filter(p => new java.io.File(p).exists) // zero-row buckets write no dir
+    val stats =
+      if (writtenPaths.isEmpty) Map.empty[String, org.apache.spark.sql.Row]
+      else spark.read.option("basePath", outDir).parquet(writtenPaths: _*)
+        .groupBy(col(bucketCol).cast("string").as("__b"))
+        .agg(count(lit(1)), min(col(timeCol)), max(col(timeCol)))
+        .collect().map(r => r.getString(0) -> r).toMap
     val dt = (System.nanoTime() - t0) / 1e9
     val manifests = pending.map { b =>
       val (rows, tMin, tMax) = stats.get(b) match {
