@@ -175,11 +175,12 @@ object Bench {
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
     val scaleSkew = sys.env.getOrElse("SPARK_GRAFT_SCALE_SKEW_ROWS", "4000000").toLong
-    // cluster deploy warms EVERY rep (fresh executor JVMs per session), so
-    // each rep costs ~2 full runs per arm — 3 reps keeps part 2 under
-    // ~20 min while still giving a median over warmed steady-state runs
+    // cluster deploy warms EVERY rep twice (fresh executor JVMs per
+    // session + single-threaded C2 under ActiveProcessorCount=1), so each
+    // rep costs 3 full runs per arm — 2 reps keeps part 2 near ~20 min
+    // while still measuring only warmed steady-state runs
     val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt)
-      .getOrElse(if (deploy == "cluster") 3 else 5)
+      .getOrElse(if (deploy == "cluster") 2 else 5)
     val w = scalingIsolated("window", scaleN, reps, deploy)
     val t = scalingIsolated("tokens", scaleDocs, reps, deploy)
     val sk = scalingIsolated("skew", scaleSkew, reps, "local")

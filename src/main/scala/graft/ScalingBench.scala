@@ -235,12 +235,13 @@ object ScalingBench {
         // compounds over several executions (observed drift 66->29->21 s
         // with a single warmup), and buffer/heap shaping needs full scale.
         // In cluster deploy EVERY session spawns fresh executor JVMs (a new
-        // standalone app per session), so every rep needs its own warmup —
-        // without it reps 1..N all measure cold-executor JIT, a constant
-        // that deflates efficiency asymmetrically (the small arm amortizes
-        // it over 4x the per-executor work).
-        if (warm) { job(s, rows); job(s, rows) }
-        else if (mode == "cluster") job(s, rows)
+        // standalone app per session), so every rep needs its own FULL
+        // warmup pair: with -XX:ActiveProcessorCount=1 each executor has a
+        // single C2 compiler thread, and one warmup is not enough wall
+        // time to finish compiling the generated code (measured: rep 0
+        // with two warmups ran the big arm at 6.5 s; one-warmup reps sat
+        // at 12-17 s on identical input).
+        if (warm || mode == "cluster") { job(s, rows); job(s, rows) }
         // measured run starts from a collected heap: warmup garbage
         // otherwise bleeds G1 mixed-collection pauses into the measurement
         System.gc()

@@ -33,6 +33,14 @@ object IndexBuild {
   /** Build all index tables from a parsed GFF DataFrame (GffSource.parse). */
   def build(parsed: DataFrame): IndexTables = {
     val spark = parsed.sparkSession
+    // stage 0: materialize the parse ONCE. Without this the parse plan
+    // (text split + regex extraction — the widest expressions in the whole
+    // engine) executes three times before stage 1 completes: the range
+    // partitioner's sampling pass, zipWithIndex's per-partition count job,
+    // and the cache fill — each with its own codegen. Build-time scratch,
+    // freed by releaseScratch() with the rest.
+    val parsedC = parsed.cache()
+    parsedC.count()
     // stage 1: dense fid by file order (≙ fid = row ordinal, core.rs:141-144).
     // NOT row_number() over an unpartitioned Window — that funnels the whole
     // corpus through ONE task ("Moving all data to a single partition").
@@ -40,7 +48,7 @@ object IndexBuild {
     // identical rank fully distributed (partitions are ordered ranges, rows
     // sorted within, line_no unique -> index == global rank), at the cost of
     // zipWithIndex's one extra per-partition count job.
-    val sorted = parsed.repartitionByRange(col("line_no"))
+    val sorted = parsedC.repartitionByRange(col("line_no"))
       .sortWithinPartitions(col("line_no"))
     val featSchema = sorted.schema.add("fid", org.apache.spark.sql.types.LongType,
       nullable = false)
@@ -84,6 +92,17 @@ object IndexBuild {
       .select("line_no", "fid", "entity_id", "seqid", "ftype", "start", "end",
         "id", "parent", "attr", "aid", "root_fid")
 
+    // Serving dictionaries are RE-DERIVED from the features table (which
+    // carries entity_id/aid columns), not returned as the build-time plans
+    // over the stage-1 scratch: once a caller caches `features`, every
+    // other index table is a small aggregate READING THROUGH that one
+    // cache, and releaseScratch() can free the scratch without any table
+    // silently re-running the parse (≙ the sidecar model: .sqs/.atn are
+    // projections of the indexed feature table).
+    val entityDictOut = full.select(col("seqid"), col("entity_id")).distinct()
+    val attrDictOut = full.where(col("attr").isNotNull)
+      .select(col("attr"), col("aid")).distinct()
+
     // stage 5: group extents (≙ .gof, core.rs:182-203) + interval table
     val groupExtents = full.groupBy(col("root_fid"))
       .agg(count(lit(1)).as("n"),
@@ -99,12 +118,12 @@ object IndexBuild {
       .repartitionByRange(col("entity_id"), col("start"))
       .sortWithinPartitions(col("entity_id"), col("start"))
 
-    IndexTables(full, entityDict, attrDict, groupExtents, intervals,
+    IndexTables(full, entityDictOut, attrDictOut, groupExtents, intervals,
       // build-time scratch: the stage-1 feats cache + the closure rounds'
       // caches. Callers that cache/persist the returned tables should call
       // this afterwards — every plan above reads THROUGH these caches, so
       // releasing early just means recomputing the parse on next use
-      releaseScratch = () => { feats.unpersist(false); releaseClosure() })
+      releaseScratch = () => { parsedC.unpersist(false); feats.unpersist(false); releaseClosure() })
   }
 
   /** Persist index tables as partitioned parquet + a JSON manifest

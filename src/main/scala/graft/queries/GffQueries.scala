@@ -24,11 +24,24 @@ import org.apache.spark.sql.functions._
 object GffQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Render the fixture as (line_no, value) raw GFF text lines. */
+  /** Render the fixture as (line_no, value) raw GFF text lines.
+    *
+    * The key column is REPARTITIONED before the render: the sf parquet is a
+    * single row-group, so without the shuffle the whole render + parse
+    * chain (the widest string expressions in the engine) executes as ONE
+    * task — measured 8.6 s single-task vs sub-second parallel at sf0.1.
+    * Deterministic: every rendered value derives from `k` alone, and the
+    * index build re-sorts by line_no, so partition layout never leaks into
+    * results (the cross-parallelism fid-equality property test covers it).
+    */
   def gffLines(s: SparkSession, d: String): DataFrame = {
     val o = Views.table(s, d, "orders")
       .where(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey").cast("long").as("k"))
+      // explicit partition count: with AQE a bare repartition(col) gets
+      // coalesced back to ONE partition for this (tiny-bytes) fixture and
+      // the whole chain serializes again
+      .repartition(64, col("k"))
     o.select(col("k"), explode(expr("array(0L, 1L, 2L)")).as("lvl"))
       .withColumn("line_no", col("k") * 3 + col("lvl"))
       .withColumn("seqid", concat(lit("chr"), (col("k") % 5).cast("string")))
@@ -92,11 +105,13 @@ object GffQueries {
           entityDict = t0.entityDict.cache(), attrDict = t0.attrDict.cache(),
           groupExtents = t0.groupExtents.cache())
         val serving = Seq(t.features, t.intervals, t.entityDict, t.attrDict, t.groupExtents)
-        // materialize the serving caches NOW, then free the build-time
-        // scratch (stage-1 feats + closure round caches) — nothing reads
-        // through the scratch once these five hold the data (ADVICE r2
-        // cache-leak fix; costs 5 one-time count jobs at index build)
-        serving.foreach(_.count())
+        // Eagerly materialize ONLY the features cache, then free the
+        // build-time scratch (stage-1 feats + closure round caches; ADVICE
+        // r2 cache-leak fix). Every other serving table is a plan OVER the
+        // features table (IndexBuild re-derives the dictionaries from it),
+        // so the lazy materializations read through this one cache — one
+        // count job here, no silent re-parse anywhere.
+        t.features.count()
         t0.releaseScratch()
         indexCache.put(key, (t, serving))
         t

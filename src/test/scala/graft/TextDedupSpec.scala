@@ -48,9 +48,15 @@ class TextDedupSpec extends SparkSpec {
       "unrelated tiny doc should not pair with everything")
   }
 
-  test("fused minhash signatures == declarative distinct-shingle spec (incl. short/empty text)") {
+  test("fused minhash signatures == declarative distinct-shingle spec (incl. short/empty/NON-ASCII text)") {
+    // non-ASCII rows exercise the codepoint fallback: byte-offset shingles
+    // would differ from the spec's substring (character) shingles
     val edge = docs.select("doc_id", "text")
-      .unionByName(Seq((100L, ""), (101L, "abc"), (102L, "abcd!")).toDF("doc_id", "text"))
+      .unionByName(Seq((100L, ""), (101L, "abc"), (102L, "abcd!"),
+        (103L, "héllo wörld ünicode café"),
+        (104L, "日本語のテキストです"),
+        (105L, "mixed ascii und Ümläute here"))
+        .toDF("doc_id", "text"))
     val spec = Dedup.minHashSignatures(Dedup.shingles(edge, "doc_id", "text", 5), "doc_id", 8)
       .collect().map(_.toSeq).toSet
     val fused = Dedup.minHashSignaturesFused(edge, "doc_id", "text", 5, 8)
