@@ -180,7 +180,7 @@ object Bench {
     // rep costs 3 full runs per arm — 2 reps keeps part 2 near ~20 min
     // while still measuring only warmed steady-state runs
     val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt)
-      .getOrElse(if (deploy == "cluster") 2 else 5)
+      .getOrElse(if (deploy == "cluster") 3 else 5)
     val w = scalingIsolated("window", scaleN, reps, deploy)
     val t = scalingIsolated("tokens", scaleDocs, reps, deploy)
     val sk = scalingIsolated("skew", scaleSkew, reps, "local")
