@@ -55,6 +55,49 @@ object Similarity {
       s"(CASE WHEN element_at($embCol, $p) > element_at($embCol, $q) THEN ${1L << j}L ELSE 0L END)"
     }.mkString(" + ")
 
+  /** Narrow (id, table, bucket) band rows for every row of `df` — the
+    * shared banded-LSH front-end ([[cosineKnnLshBanded]],
+    * [[cosineNearDupPairs]]).
+    */
+  private[ops] def bandRows(df: DataFrame, idCol: String, embCol: String,
+      bandBits: Int, nBands: Int, dim: Int, outId: String): DataFrame = {
+    val structs = (0 until nBands).map { g =>
+      s"struct(${g}L AS g, (${lshBucketExpr(embCol, bandBits, dim, g * bandBits)}) AS bkt)"
+    }
+    df.select(col(idCol).as(outId),
+      explode(expr(s"array(${structs.mkString(", ")})")).as("__band"))
+      .select(col(outId), col("__band.g").as("g"), col("__band.bkt").as("bkt"))
+  }
+
+  /** Embedding-cosine NEAR-DUP pairs — the dedup-family member over the
+    * embedding column: all (da < db) pairs sharing an LSH band bucket
+    * (Hamming-1 multi-probe on the left side) whose exact cosine clears
+    * `threshold`. Same narrow-band-rows / fetch-by-id discipline as the
+    * ANN path: the only all-pairs work happens INSIDE buckets, and the
+    * (g, bkt) pair is the shuffle key at scale. Deterministic (the bucket
+    * schedule is fixed), so it has an exact DuckDB twin (q50).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double, bandBits: Int = 4, nBands: Int = 12,
+      dim: Int = 64): DataFrame = {
+    val base = withNorm(corpus, embCol)
+    val masks = 0L +: (0 until bandBits).map(j => 1L << j)
+    val a = bandRows(base, idCol, embCol, bandBits, nBands, dim, "da")
+      .select(col("da"), col("g"), col("bkt"),
+        explode(array(masks.map(lit(_)): _*)).as("__m"))
+      .select(col("da"), col("g"), col("bkt").bitwiseXOR(col("__m")).as("bkt"))
+    val b = bandRows(base, idCol, embCol, bandBits, nBands, dim, "db")
+    val pairs = a.join(b, Seq("g", "bkt"))
+      .where(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val ea = base.select(col(idCol).as("da"), col(embCol).as("qe"), col("__n2").as("qn2"))
+    val eb = base.select(col(idCol).as("db"), col(embCol).as("ne"), col("__n2").as("nn2"))
+    pairs.join(ea, "da").join(eb, "db")
+      .withColumn("cos", cosCol)
+      .where(col("cos") >= threshold)
+      .select("da", "db", "cos")
+  }
+
   /** Banded (multi-table) ANN — the scale path. `nBands` independent
     * `bandBits`-bit sign-test tables; candidates = union over tables of
     * same-bucket pairs (OR-construction: recall for a neighbor whose
@@ -73,14 +116,8 @@ object Similarity {
       queryPred: String, k: Int, bandBits: Int = 4, nBands: Int = 12,
       dim: Int = 64, multiProbe: Boolean = false): DataFrame = {
     val base = withNorm(corpus, embCol)
-    def bands(df: DataFrame, outId: String): DataFrame = {
-      val structs = (0 until nBands).map { g =>
-        s"struct(${g}L AS g, (${lshBucketExpr(embCol, bandBits, dim, g * bandBits)}) AS bkt)"
-      }
-      df.select(col(idCol).as(outId),
-        explode(expr(s"array(${structs.mkString(", ")})")).as("__band"))
-        .select(col(outId), col("__band.g").as("g"), col("__band.bkt").as("bkt"))
-    }
+    def bands(df: DataFrame, outId: String): DataFrame =
+      bandRows(df, idCol, embCol, bandBits, nBands, dim, outId)
     val qb0 = bands(base.where(expr(queryPred)), "qid")
     // Multi-probe (recall knob without more tables): each QUERY also looks
     // into the bandBits Hamming-1 neighbors of its bucket — a near-neighbor

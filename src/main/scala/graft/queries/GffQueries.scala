@@ -511,7 +511,41 @@ object GffQueries {
        |SELECT n.id FROM names n
        |WHERE NOT EXISTS (SELECT 1 FROM gfull g WHERE g.id = n.id)""".stripMargin
 
+  // q49 — BYTE-FAITHFUL raw block output (common.rs:188-287: the
+  // reference re-emits the ORIGINAL line bytes of matched groups, not a
+  // re-serialization): extract's matched line_nos joined back to the raw
+  // rendered text lines, file-ordered. The oracle re-renders the exact
+  // line text (tab joins, coordinate strings, attribute string) from the
+  // same arithmetic — any byte difference fails the hash compare.
+  val q49: Q = (s, d) => {
+    val t = index(s, d)
+    val names = Views.table(s, d, "orders")
+      .where(col("o_orderkey") % 30 === 0)
+      .select(concat(lit("f"), col("o_orderkey").cast("long").cast("string"),
+        lit("_1")).as("name"))
+    val matched = GffOps.extract(t, names).select("line_no")
+    gffLines(s, d).join(matched, "line_no").orderBy("line_no")
+      .select("line_no", "value")
+  }
+
+  val q49Sql: String =
+    s"""WITH RECURSIVE $gffSql,
+       |rawlines AS (SELECT line_no,
+       |  seqid || chr(9) || 'src' || chr(9) || ftype || chr(9) ||
+       |  CAST(raw_start AS VARCHAR) || chr(9) || CAST(raw_end AS VARCHAR) || chr(9) ||
+       |  '.' || chr(9) || '+' || chr(9) || '.' || chr(9) ||
+       |  'ID=' || id ||
+       |  CASE WHEN lvl > 0 THEN ';Parent=' || parent ELSE '' END ||
+       |  CASE WHEN lvl = 0 THEN ';gene_name=' || attr ELSE '' END AS value
+       |  FROM graw),
+       |names AS (SELECT 'f' || CAST(o_orderkey AS VARCHAR) || '_1' AS name
+       |  FROM orders WHERE o_orderkey % 30 = 0),
+       |xr AS (SELECT DISTINCT g.root_fid FROM gfull g JOIN names n ON n.name = g.id),
+       |ml AS (SELECT DISTINCT g.line_no FROM gfull g JOIN xr ON xr.root_fid = g.root_fid)
+       |SELECT r.line_no, r.value FROM rawlines r JOIN ml ON ml.line_no = r.line_no""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q49_raw_block_sink" -> q49,
     "q42_bed_scan" -> q42,
     "q32_gff_index" -> q32,
     "q33_gff_extract" -> q33,
@@ -526,6 +560,7 @@ object GffQueries {
     "q48_missing_names" -> q48)
 
   val oracles: Map[String, String] = Map(
+    "q49_raw_block_sink" -> q49Sql,
     "q42_bed_scan" -> q42Sql,
     "q32_gff_index" -> q32Sql,
     "q33_gff_extract" -> q33Sql,

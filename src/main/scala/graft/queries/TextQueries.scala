@@ -198,6 +198,31 @@ object TextQueries {
        | CAST(h.n_hits AS DOUBLE) / (CAST(nq.n_queries AS DOUBLE) * 3.0) AS recall
        |FROM nq, h""".stripMargin
 
+  // q50 — embedding-cosine NEAR-DUP dedup (the last dedup-family member):
+  // LSH-banded candidate pairs (Hamming-1 multi-probe left side) with
+  // exact cosine >= 0.45 over the full embeddings table. The oracle
+  // mirrors the bucket schedule exactly, so the comparison is exact (LSH
+  // recall is measured separately by q37).
+  val q50: Q = (s, d) =>
+    Similarity.cosineNearDupPairs(Views.table(s, d, "embeddings"), "vec_id", "embedding",
+      0.45, AnnBandBits, AnnBands, 64)
+
+  val q50Sql: String = {
+    val bandSelects = (0 until AnnBands).map(g =>
+      s"SELECT vec_id, $g AS g, ${duckBand(g)} AS bkt FROM embeddings").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |  list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2 FROM embeddings),
+       |bands AS ($bandSelects),
+       |ab AS (SELECT vec_id, g, xor(bkt, m) AS bkt
+       |  FROM bands, UNNEST([0, 1, 2, 4, 8]) AS t(m)),
+       |pairs AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+       |  FROM ab a JOIN bands b ON b.g = a.g AND b.bkt = a.bkt AND a.vec_id < b.vec_id),
+       |scored AS (SELECT p.da, p.db,
+       |  list_inner_product(x.emb, y.emb) / sqrt(x.n2 * y.n2) AS cos
+       |  FROM pairs p JOIN e x ON x.vec_id = p.da JOIN e y ON y.vec_id = p.db)
+       |SELECT da, db, cos FROM scored WHERE cos >= 0.45""".stripMargin
+  }
+
   // q26 — marker-profile language/topic ID.
   val q26: Q = (s, d) => TextOps.langId(Views.table(s, d, "documents"))
 
@@ -272,6 +297,7 @@ object TextQueries {
       |FROM documents""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q50_embed_neardup" -> q50,
     "q30_multimodal_meta" -> q30,
     "q37_ann_recall" -> q37,
     "q19_tokenize" -> q19,
@@ -287,6 +313,7 @@ object TextQueries {
     "q29_fingerprint" -> q29)
 
   val oracles: Map[String, String] = Map(
+    "q50_embed_neardup" -> q50Sql,
     "q30_multimodal_meta" -> q30Sql,
     "q37_ann_recall" -> q37Sql,
     "q19_tokenize" -> q19Sql,
