@@ -166,10 +166,31 @@ object ScalingBench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Hypervisor steal fraction over an interval, from /proc/stat (field 8
+    * of the aggregate cpu line). This sandbox VM shares a host: bursts of
+    * 17-53% steal were observed landing on single reps (asymmetrically —
+    * the 8-executor arm absorbs a burst the 2-core arm schedules around),
+    * which is exactly the round-2 "0.68-0.87 band" and the round-3
+    * tokens-arm 16 s -> 45 s flips. Steal is measured around every timed
+    * run; contaminated reps are re-sampled and the per-rep fractions ship
+    * in the JSON.
+    */
+  def cpuJiffies(): (Long, Long) = {
+    val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      .trim.split("\\s+").drop(1).map(_.toLong)
+    (f(7), f.sum)
+  }
+
+  /** Steal threshold above which a rep is considered contaminated. Quiet
+    * periods measure 0-1%; neighbor bursts 17-53%.
+    */
+  val StealClean = 0.02
+
   final case class Result(job: String, rowsIn: Long, rowsOut: Long,
       smallSec: Double, bigSec: Double,
       smallRaw: Seq[Double] = Nil, bigRaw: Seq[Double] = Nil,
-      hostCeiling: Double = 0.0, ceilingJob: String = "") {
+      hostCeiling: Double = 0.0, ceilingJob: String = "",
+      smallSteal: Seq[Double] = Nil, bigSteal: Seq[Double] = Nil) {
     def efficiency: Double =
       if (ScalingBench.weak) smallSec / bigSec
       else (smallSec / bigSec) / (ScalingBench.nBig.toDouble / ScalingBench.nSmall)
@@ -181,7 +202,15 @@ object ScalingBench {
       * together.
       */
     def efficiencyPaired: Double = {
-      val ratios = smallRaw.zip(bigRaw).map { case (s, b) => s / b }.sorted
+      // pairs where EITHER run was steal-contaminated are excluded (the
+      // burst is asymmetric, so it does NOT cancel in the ratio the way
+      // common-mode host drift does); falls back to all pairs if none
+      val all = smallRaw.zip(bigRaw).zipAll(
+        smallSteal.zip(bigSteal), (0.0, 0.0), (0.0, 0.0))
+      val clean = all.filter { case (_, (ss, bs)) =>
+        ss <= ScalingBench.StealClean && bs <= ScalingBench.StealClean }
+      val use = if (clean.nonEmpty) clean else all
+      val ratios = use.map { case ((s, b), _) => s / b }.sorted
       val m =
         if (ratios.isEmpty) smallSec / bigSec
         else if (ratios.length % 2 == 1) ratios(ratios.length / 2)
@@ -205,6 +234,9 @@ object ScalingBench {
          |"n_small":${ScalingBench.nSmall},"n_big":${ScalingBench.nBig},
          |"small_raw":${smallRaw.map(f3).mkString("[", ",", "]")},
          |"big_raw":${bigRaw.map(f3).mkString("[", ",", "]")},
+         |"small_steal":${smallSteal.map(f3).mkString("[", ",", "]")},
+         |"big_steal":${bigSteal.map(f3).mkString("[", ",", "]")},
+         |"steal_clean_threshold":${f3(ScalingBench.StealClean)},
          |"small_sec":${f3(smallSec)},"big_sec":${f3(bigSec)},
          |"small_rows_per_sec":${f3(rowsIn / smallSec)},"big_rows_per_sec":${f3(rowsIn / bigSec)},
          |"speedup":${f3(smallSec / bigSec)},"efficiency":${f3(efficiency)},
@@ -222,10 +254,12 @@ object ScalingBench {
     */
   def weak: Boolean = sys.env.getOrElse("SPARK_GRAFT_WEAK", "0") == "1"
 
+  final case class RunSample(rowsOut: Long, sec: Double, steal: Double)
+
   def measure(job: (SparkSession, Long) => Long, name: String, n: Long,
       reps: Int): Result = {
     val ratio = nBig / nSmall
-    def runOnce(cores: Int, warm: Boolean, rep: Int): (Long, Double) = {
+    def runOnce(cores: Int, warm: Boolean, rep: Int): RunSample = {
       cleanDir(spillDir(cores))
       val s = session(cores)
       s.sparkContext.setLogLevel("WARN")
@@ -245,44 +279,68 @@ object ScalingBench {
         // measured run starts from a collected heap: warmup garbage
         // otherwise bleeds G1 mixed-collection pauses into the measurement
         System.gc()
+        val (st0, tot0) = cpuJiffies()
         val r = timed(job(s, rows))
+        val (st1, tot1) = cpuJiffies()
+        val steal = if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
         // per-run audit line: cold-session artifacts must be VISIBLE
-        System.err.println(f"[scaling] $name cores=$cores rep=$rep t=${r._2}%.2f s")
-        r
+        System.err.println(f"[scaling] $name cores=$cores rep=$rep t=${r._2}%.2f s " +
+          f"steal=${steal * 100}%.1f%%")
+        RunSample(r._1, r._2, steal)
       } finally s.stop()
     }
-    // alternate arms (small, big, small, big, ...) so environment drift
+    // Alternate arms (small, big, small, big, ...) so environment drift
     // spreads across both arms. Rep 0 is each arm's FIRST session in the
     // JVM — classloading + codegen + JIT make it unrepresentative even
-    // after its two warmups (observed up to several-x slow) — so it is
-    // measured, PRINTED, and DISCARDED; the medians use reps 1..N.
-    val samples = (0 to reps).map { i =>
-      (runOnce(nSmall, warm = i == 0, i), runOnce(nBig, warm = i == 0, i))
+    // after its two warmups — so it is measured, PRINTED, and DISCARDED.
+    // ADAPTIVE length: keep sampling pairs until each arm holds `reps`
+    // STEAL-CLEAN samples (hypervisor bursts contaminate single reps
+    // asymmetrically — the 8-executor arm absorbs a burst the 2-core arm
+    // schedules around) or the attempt budget runs out; every sample and
+    // its steal fraction ships in the JSON either way.
+    // budget: up to 2x the planned pairs, then degrade honestly (medians
+    // over whatever clean samples exist, or all samples if < 2 clean —
+    // the shipped steal arrays make the degradation auditable)
+    val maxPairs = 1 + reps * 2
+    val small = scala.collection.mutable.ArrayBuffer[RunSample]()
+    val big = scala.collection.mutable.ArrayBuffer[RunSample]()
+    def cleanN(xs: Seq[RunSample]) = xs.count(_.steal <= StealClean)
+    var pair = 0
+    while (pair < maxPairs &&
+        (pair == 0 || cleanN(small.toSeq) < reps || cleanN(big.toSeq) < reps)) {
+      val s = runOnce(nSmall, warm = pair == 0, pair)
+      val b = runOnce(nBig, warm = pair == 0, pair)
+      if (pair > 0) { small += s; big += b }
+      pair += 1
     }
-    val small = samples.drop(1).map(_._1)
-    val big = samples.drop(1).map(_._2)
-    // true median: odd reps -> middle element; even reps -> mean of middle 2
+    // true median: odd count -> middle element; even -> mean of middle 2
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
     // Wider cold-run discard (VERDICT r2 #1): beyond rep 0, an arm's early
-    // reps occasionally still carry cold-session bleed (BENCH_r02 small_raw
-    // rep 1: 53.3 s vs 19.5 s steady — C2 recompilation of generated code
-    // past the two warmups). Reps slower than 1.5x the arm's own minimum
-    // are cold-session artifacts, not steady-state samples: drop them
-    // before the median. Raw arrays still ship unfiltered for audit.
+    // reps occasionally still carry cold-session bleed. Reps slower than
+    // 1.5x the arm's own minimum are cold-session artifacts, not
+    // steady-state samples: drop them before the median. Raw arrays still
+    // ship unfiltered for audit.
     def steady(xs: Seq[Double]): Seq[Double] = {
       val m = xs.min
       xs.filter(_ <= 1.5 * m)
     }
-    val rowsOut = small.head._1
-    if (!weak) require((small ++ big).forall(_._1 == rowsOut),
+    // medians over the steal-clean subset when it exists (>= 2 samples);
+    // degraded-to-all otherwise — visible in the shipped steal arrays
+    def usable(xs: Seq[RunSample]): Seq[Double] = {
+      val clean = xs.filter(_.steal <= StealClean).map(_.sec)
+      if (clean.length >= 2) clean else xs.map(_.sec)
+    }
+    val rowsOut = small.head.rowsOut
+    if (!weak) require((small.toSeq ++ big.toSeq).forall(_.rowsOut == rowsOut),
       "runs diverged across parallelism levels")
     Result(name, n, rowsOut,
-      median(steady(small.map(_._2))), median(steady(big.map(_._2))),
-      small.map(_._2), big.map(_._2))
+      median(steady(usable(small.toSeq))), median(steady(usable(big.toSeq))),
+      small.toSeq.map(_.sec), big.toSeq.map(_.sec),
+      smallSteal = small.toSeq.map(_.steal), bigSteal = big.toSeq.map(_.steal))
   }
 
   /** Skew probe (north rule: "skew handled explicitly" — demonstrated by
@@ -304,10 +362,25 @@ object ScalingBench {
     val probes = Synth.skewedProbes(spark, n)
     val feats = Synth.featureIntervals(spark, n / 4, nEntities = 64)
       .drop("group_id", "ftype", "attr")
-    def run(binSize: Long): (Long, Double) = timed {
-      val out = IntervalJoin.sweepJoin(probes, feats, Overlap, binSize)
-      out.agg(count(lit(1)), sum(pmod(xxhash64(out.columns.map(col): _*), lit(1000000007L))))
-        .collect()(0).getLong(0)
+    def run(binSize: Long): (Long, Double) = {
+      // steal-guarded: re-measure (once) if a hypervisor burst landed on
+      // this run — the probe is comparative, but a burst on ONE side would
+      // fake (or mask) the skew effect
+      var out: (Long, Double) = null
+      var attempt = 0
+      var clean = false
+      while (attempt < 2 && !clean) {
+        val (st0, tot0) = cpuJiffies()
+        out = timed {
+          val o = IntervalJoin.sweepJoin(probes, feats, Overlap, binSize)
+          o.agg(count(lit(1)), sum(pmod(xxhash64(o.columns.map(col): _*), lit(1000000007L))))
+            .collect()(0).getLong(0)
+        }
+        val (st1, tot1) = cpuJiffies()
+        clean = tot1 <= tot0 || (st1 - st0).toDouble / (tot1 - tot0) <= StealClean
+        attempt += 1
+      }
+      out
     }
     run(4096L); run(1L << 40) // warmup both paths (JIT + codegen)
     val (kBinned, tBinned) = run(4096L)
@@ -332,9 +405,22 @@ object ScalingBench {
     val which = sys.env.getOrElse("SPARK_GRAFT_SCALE_JOB", "all")
     // per-run host ceiling calibration in THIS fresh JVM (pure threads, no
     // Spark): what the hardware itself scales at for the job's bound
-    // resource, shipped inside the JSON next to the measured efficiency
-    def withCeiling(r: Result, job: String): Result =
-      r.copy(hostCeiling = HostCalib.pairEfficiency(job, nSmall, nBig), ceilingJob = job)
+    // resource, shipped inside the JSON next to the measured efficiency.
+    // Retried under hypervisor steal — a burst during calibration produced
+    // a nonsensical >1 "ceiling" in one observed run.
+    def withCeiling(r: Result, job: String): Result = {
+      var ceiling = 0.0
+      var attempt = 0
+      var clean = false
+      while (attempt < 3 && !clean) {
+        val (st0, tot0) = cpuJiffies()
+        ceiling = HostCalib.pairEfficiency(job, nSmall, nBig)
+        val (st1, tot1) = cpuJiffies()
+        clean = tot1 <= tot0 || (st1 - st0).toDouble / (tot1 - tot0) <= StealClean
+        attempt += 1
+      }
+      r.copy(hostCeiling = ceiling, ceilingJob = job)
+    }
     if (which == "all" || which == "window")
       println(s"SCALING ${withCeiling(measure(windowJob, "window_features_asof", nWin, reps), "copy").json}")
     if (which == "fused")
