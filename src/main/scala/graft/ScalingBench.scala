@@ -328,11 +328,13 @@ object ScalingBench {
       val m = xs.min
       xs.filter(_ <= 1.5 * m)
     }
-    // medians over the steal-clean subset when it exists (>= 2 samples);
-    // degraded-to-all otherwise — visible in the shipped steal arrays
+    // medians over the steal-clean subset when ANY clean sample exists;
+    // steal only ever inflates a time, so even a single clean sample beats
+    // a median over contaminated ones. Degrades to all samples only when
+    // every rep was dirty — visible in the shipped steal arrays.
     def usable(xs: Seq[RunSample]): Seq[Double] = {
       val clean = xs.filter(_.steal <= StealClean).map(_.sec)
-      if (clean.length >= 2) clean else xs.map(_.sec)
+      if (clean.nonEmpty) clean else xs.map(_.sec)
     }
     val rowsOut = small.head.rowsOut
     if (!weak) require((small.toSeq ++ big.toSeq).forall(_.rowsOut == rowsOut),
