@@ -74,10 +74,10 @@ object ScalingBench {
       .master(master)
       .appName(s"graft-scaling-$cores")
       // fixed partition count across arms (a property of the data layout,
-      // not the cluster size); 64 keeps per-partition sorts cache-friendly
-      // at bench scale and beats both 16 (arm-asymmetric spill) and giant
-      // in-heap sorts (G1 old-gen pressure) in measurements on this box
-      .config("spark.sql.shuffle.partitions", "64")
+      // not the cluster size — otherwise the small arm gets wider
+      // partitions, spills, and fakes super-linear "scaling")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -256,62 +256,66 @@ object ScalingBench {
 
   final case class RunSample(rowsOut: Long, sec: Double, steal: Double)
 
+  /** Measured runs per session visit (after the visit's two full-size
+    * warmups). Amortizing the warmups over several in-session runs makes
+    * many samples affordable: the host shows multi-minute ±15% drift modes
+    * that are NOT hypervisor steal (neighbor memory-bandwidth pressure,
+    * per-core turbo shifts with arm width), and only a larger, finely
+    * interleaved sample defeats them.
+    */
+  def perVisit: Int = sys.env.getOrElse("SPARK_GRAFT_SCALE_PER_VISIT", "3").toInt
+
   def measure(job: (SparkSession, Long) => Long, name: String, n: Long,
       reps: Int): Result = {
     val ratio = nBig / nSmall
-    def runOnce(cores: Int, warm: Boolean, rep: Int): RunSample = {
+    def runVisit(cores: Int, visit: Int): Seq[RunSample] = {
       cleanDir(spillDir(cores))
       val s = session(cores)
       s.sparkContext.setLogLevel("WARN")
       val rows = if (weak && cores == nBig) n * ratio else n
       try {
-        // TWO full-size warmups on each arm's first session: C2 JIT tiering
-        // compounds over several executions (observed drift 66->29->21 s
-        // with a single warmup), and buffer/heap shaping needs full scale.
-        // In cluster deploy EVERY session spawns fresh executor JVMs (a new
-        // standalone app per session), so every rep needs its own FULL
-        // warmup pair: with -XX:ActiveProcessorCount=1 each executor has a
-        // single C2 compiler thread, and one warmup is not enough wall
-        // time to finish compiling the generated code (measured: rep 0
-        // with two warmups ran the big arm at 6.5 s; one-warmup reps sat
-        // at 12-17 s on identical input).
-        if (warm || mode == "cluster") { job(s, rows); job(s, rows) }
-        // measured run starts from a collected heap: warmup garbage
-        // otherwise bleeds G1 mixed-collection pauses into the measurement
-        System.gc()
-        val (st0, tot0) = cpuJiffies()
-        val r = timed(job(s, rows))
-        val (st1, tot1) = cpuJiffies()
-        val steal = if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
-        // per-run audit line: cold-session artifacts must be VISIBLE
-        System.err.println(f"[scaling] $name cores=$cores rep=$rep t=${r._2}%.2f s " +
-          f"steal=${steal * 100}%.1f%%")
-        RunSample(r._1, r._2, steal)
+        // TWO full-size warmups per session: every cluster session spawns
+        // fresh executor JVMs whose SINGLE C2 compiler thread (under
+        // -XX:ActiveProcessorCount=1) needs both before steady state
+        // (one-warmup sessions measured 2x slow on identical input)
+        job(s, rows); job(s, rows)
+        // the discarded warm-up visit only needs ONE post-warmup run (its
+        // purpose is driver-JVM classloading/JIT, not samples)
+        val k = if (visit == 0) 1 else perVisit
+        (0 until k).map { i =>
+          // each measured run starts from a collected heap: prior-run
+          // garbage otherwise bleeds G1 pauses into the measurement
+          System.gc()
+          val (st0, tot0) = cpuJiffies()
+          val r = timed(job(s, rows))
+          val (st1, tot1) = cpuJiffies()
+          val steal = if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
+          System.err.println(f"[scaling] $name cores=$cores visit=$visit run=$i " +
+            f"t=${r._2}%.2f s steal=${steal * 100}%.1f%%")
+          RunSample(r._1, r._2, steal)
+        }
       } finally s.stop()
     }
-    // Alternate arms (small, big, small, big, ...) so environment drift
-    // spreads across both arms. Rep 0 is each arm's FIRST session in the
-    // JVM — classloading + codegen + JIT make it unrepresentative even
-    // after its two warmups — so it is measured, PRINTED, and DISCARDED.
-    // ADAPTIVE length: keep sampling pairs until each arm holds `reps`
-    // STEAL-CLEAN samples (hypervisor bursts contaminate single reps
-    // asymmetrically — the 8-executor arm absorbs a burst the 2-core arm
-    // schedules around) or the attempt budget runs out; every sample and
-    // its steal fraction ships in the JSON either way.
-    // budget: up to 2x the planned pairs, then degrade honestly (medians
-    // over whatever clean samples exist, or all samples if < 2 clean —
-    // the shipped steal arrays make the degradation auditable)
-    val maxPairs = 1 + reps * 2
+    // Visits ALTERNATE arms (small, big, small, big, ...) every ~1-2 min
+    // so host drift modes spread across both arms. The ENTIRE first visit
+    // per arm is warm-up-only and discarded (the JVM's first session is
+    // ~10% slow even after its two in-session warmups — driver-side
+    // classloading/JIT; the round-2 rep-0 rule, widened). ADAPTIVE: extra
+    // visits while an arm lacks enough steal-clean samples, bounded.
+    val baseVisits = math.max(3, reps)
+    val maxVisits = baseVisits * 2
+    val targetClean = 2 * perVisit
     val small = scala.collection.mutable.ArrayBuffer[RunSample]()
     val big = scala.collection.mutable.ArrayBuffer[RunSample]()
     def cleanN(xs: Seq[RunSample]) = xs.count(_.steal <= StealClean)
-    var pair = 0
-    while (pair < maxPairs &&
-        (pair == 0 || cleanN(small.toSeq) < reps || cleanN(big.toSeq) < reps)) {
-      val s = runOnce(nSmall, warm = pair == 0, pair)
-      val b = runOnce(nBig, warm = pair == 0, pair)
-      if (pair > 0) { small += s; big += b }
-      pair += 1
+    var v = 0
+    while (v < maxVisits && (v < baseVisits ||
+        cleanN(small.toSeq) < targetClean || cleanN(big.toSeq) < targetClean)) {
+      val sv = runVisit(nSmall, v)
+      val bv = runVisit(nBig, v)
+      small ++= (if (v == 0) Nil else sv)
+      big ++= (if (v == 0) Nil else bv)
+      v += 1
     }
     // true median: odd count -> middle element; even -> mean of middle 2
     def median(xs: Seq[Double]): Double = {
@@ -319,19 +323,17 @@ object ScalingBench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    // Wider cold-run discard (VERDICT r2 #1): beyond rep 0, an arm's early
-    // reps occasionally still carry cold-session bleed. Reps slower than
-    // 1.5x the arm's own minimum are cold-session artifacts, not
-    // steady-state samples: drop them before the median. Raw arrays still
-    // ship unfiltered for audit.
+    // contamination only ever INFLATES a time: beyond the steal filter,
+    // samples slower than 1.5x the arm's own minimum are residual
+    // slow-mode draws, dropped before the median (raw arrays ship
+    // unfiltered for audit)
     def steady(xs: Seq[Double]): Seq[Double] = {
       val m = xs.min
       xs.filter(_ <= 1.5 * m)
     }
     // medians over the steal-clean subset when ANY clean sample exists;
-    // steal only ever inflates a time, so even a single clean sample beats
-    // a median over contaminated ones. Degrades to all samples only when
-    // every rep was dirty — visible in the shipped steal arrays.
+    // degrades to all samples only when every run was dirty — visible in
+    // the shipped steal arrays
     def usable(xs: Seq[RunSample]): Seq[Double] = {
       val clean = xs.filter(_.steal <= StealClean).map(_.sec)
       if (clean.nonEmpty) clean else xs.map(_.sec)
