@@ -72,9 +72,22 @@ object Bench {
     try {
       val javaBin = new java.io.File(
         new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      val jvmArgsRaw = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.toSeq
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug"))
+      // cluster-shape probes do the heavy lifting in EXECUTOR JVMs; a 16g
+      // Xms probe driver only bloats the composed footprint. This box's
+      // fast memory tier is ~88 GB (NUMA node0) against 128 GB nominal —
+      // the sweep JVM (16g, fully touched) + a 16g probe driver + 32 GB of
+      // executors pushed the SECOND probe's executors into the slow tier:
+      // tokens' 8-executor arm measured 2x slow ONLY in the composed run
+      // (20-30 s vs 13.5-16 s standalone, zero steal). Local-deploy
+      // fallback keeps the big heap (the driver does the work there).
+      val jvmArgs =
+        if (deploy == "cluster")
+          jvmArgsRaw.filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms")) ++
+            Seq("-Xmx6g", "-Xms2g")
+        else jvmArgsRaw
       val cmd = (Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"), "graft.ScalingBench")).asJava
       val pb = new ProcessBuilder(cmd)
