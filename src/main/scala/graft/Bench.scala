@@ -5,25 +5,28 @@ import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
 
-/** Benchmark main. Emits ONE JSON line:
-  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},
-  *    "sf":...,"scaling":{...}}
+/** Benchmark main. Emits ONE compact JSON line (scaling first, queries
+  * last — the driver's capture keeps only the last ~2 KB of output) and
+  * writes the full-fidelity artifact to BENCH_DETAIL.json:
+  *   {"metric":"total","value":<sec>,"unit":"sec","sf":...,
+  *    "scaling":{...},"queries":{"q01":...,...}}
   *
-  * Two parts:
-  *  1. per-query wall clock for every SparkEntry query on
+  * Two parts, scaling FIRST:
+  *  1. the north_rule scaling probe: the SAME feature-engineering jobs at
+  *     2 vs 8 single-core executors on identical input (N->4N executor
+  *     scaling-efficiency >= 0.8 criterion; BASELINE.json north_rule).
+  *     Each probe runs in a FRESH subprocess JVM, and before the query
+  *     sweep: round 1 measured probes inside this JVM right after the
+  *     sweep (fragmented heap skewed the small arm 3.8x slow); round 3
+  *     measured them in subprocesses but with this JVM's fully-touched
+  *     16 GiB still resident, which overflowed the fast NUMA tier and
+  *     re-contaminated the big arm (see main()).
+  *  2. per-query wall clock for every SparkEntry query on
   *     $SPARK_GRAFT_SF_DIR at local[$SPARK_GRAFT_CPUS]. Each query is
   *     driven by a full-column xxhash64 checksum aggregate, NOT count():
   *     count() lets Catalyst prune every projection, so map-only queries
   *     (tokenize, simhash, lag/lead) would time a bare parquet row count
   *     instead of the feature computation.
-  *  2. the north_rule scaling probe: the SAME feature-engineering jobs at
-  *     local[2] vs local[8] on identical input (N->4N executor
-  *     scaling-efficiency >= 0.8 criterion; BASELINE.json north_rule).
-  *     Each probe runs in a FRESH subprocess JVM — round 1 measured the
-  *     probes inside this JVM right after the 160-s query sweep, and the
-  *     fragmented heap + leftover tmpfs spill skewed the small arm 3.8x
-  *     slow (BENCH_r01 reported 0.28 for a job whose controlled efficiency
-  *     is >= 0.8; see BASELINE.md methodology).
   */
 object Bench {
 
@@ -53,11 +56,12 @@ object Bench {
   }
 
   /** Run graft.ScalingBench in a fresh JVM (same flags/classpath as this
-    * one) for ONE job; returns the `SCALING {json}` payload. Falls back to
-    * in-process local-deploy measurement if the spawn fails or times out.
+    * one) for ONE job; returns (full, compact) `SCALING`/`SCALINGC` JSON
+    * payloads. Falls back to in-process local-deploy measurement if the
+    * spawn fails or times out.
     */
   private def scalingIsolated(job: String, rows: Long, reps: Int,
-      deploy: String): String = {
+      deploy: String): (String, String) = {
     val inProcess = () => {
       // a failed cluster-shape spawn must not fall back into cluster mode
       // in-process (the same failure would recur) — force local threads
@@ -65,9 +69,10 @@ object Bench {
       val (fn, n) =
         if (job == "window") (ScalingBench.windowJob _, rows)
         else (ScalingBench.tokenJob _, rows)
-      ScalingBench.measure(fn,
+      val r = ScalingBench.measure(fn,
         if (job == "window") "window_features_asof" else "tokenize_fingerprint_quality",
-        n, reps).json
+        n, reps)
+      (r.json, r.compactJson)
     }
     try {
       val javaBin = new java.io.File(
@@ -115,11 +120,15 @@ object Bench {
       if (!done) { proc.destroyForcibly(); proc.waitFor() }
       drain.join(10000)
       val rc = proc.exitValue()
-      outRef.get().find(_.startsWith("SCALING ")) match {
-        case Some(line) if rc == 0 => line.stripPrefix("SCALING ")
+      val out = outRef.get()
+      val full = out.find(_.startsWith("SCALING ")).map(_.stripPrefix("SCALING "))
+      val compact = out.find(_.startsWith("SCALINGC ")).map(_.stripPrefix("SCALINGC "))
+      (full, compact) match {
+        case (Some(f), Some(c)) if rc == 0 => (f, c)
         case _ if job == "skew" =>
           System.err.println(s"[bench] skew probe failed (rc=$rc, done=$done); skipping")
-          """{"job":"skew_hot_entity","error":"probe failed"}"""
+          val e = """{"job":"skew_hot_entity","error":"probe failed"}"""
+          (e, e)
         case _ =>
           System.err.println(s"[bench] isolated scaling probe '$job' failed (rc=$rc, " +
             s"done=$done); falling back to in-process local measurement")
@@ -128,8 +137,10 @@ object Bench {
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] subprocess spawn failed: $e; in-process fallback")
-        if (job == "skew") """{"job":"skew_hot_entity","error":"spawn failed"}"""
-        else inProcess()
+        if (job == "skew") {
+          val j = """{"job":"skew_hot_entity","error":"spawn failed"}"""
+          (j, j)
+        } else inProcess()
     }
   }
 
@@ -137,7 +148,35 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // part 1: per-query timings (full-column checksum action)
+    // part 1: N->4N scaling probes, one fresh JVM per job — and they run
+    // FIRST. The round-3 composed run measured the probes AFTER the query
+    // sweep, with this JVM's 16 GiB fully-touched heap still resident:
+    // that footprint + the probe executors overflowed the ~88 GB fast NUMA
+    // tier and the second probe's executors landed in the slow tier
+    // (tokens' big arm 18-41 s vs 14-16 s standalone at <=3% steal — the
+    // steal filter cannot see memory-bandwidth contention). Probes-first
+    // runs them against an untouched machine: this driver's heap is
+    // committed but not yet populated, which is exactly the standalone
+    // configuration whose numbers passed (window 0.819, tokens 0.896).
+    // Default deploy is `cluster` — local-cluster[N,1,4608]: N vs 4N
+    // single-core executor JVMs, the literal north_rule shape
+    // (ScalingBench.session scaladoc); SPARK_GRAFT_SCALE_MODE=local
+    // restores the thread-arm probes.
+    val deploy = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "cluster")
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
+    val scaleSkew = sys.env.getOrElse("SPARK_GRAFT_SCALE_SKEW_ROWS", "4000000").toLong
+    // cluster deploy warms EVERY rep twice (fresh executor JVMs per
+    // session + single-threaded C2 under ActiveProcessorCount=1), so each
+    // rep costs 3 full runs per arm — 3 reps keeps part 1 near ~25 min
+    // while still measuring only warmed steady-state runs
+    val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt)
+      .getOrElse(if (deploy == "cluster") 3 else 5)
+    val (wFull, wCompact) = scalingIsolated("window", scaleN, reps, deploy)
+    val (tFull, tCompact) = scalingIsolated("tokens", scaleDocs, reps, deploy)
+    val (skFull, skCompact) = scalingIsolated("skew", scaleSkew, reps, "local")
+
+    // part 2: per-query timings (full-column checksum action)
     val s1 = session(cpus)
     s1.sparkContext.setLogLevel("WARN")
     // untimed generic warmup: classloading, parquet reader, shuffle
@@ -178,29 +217,37 @@ object Bench {
       name -> dt
     }
     s1.stop()
-    ScalingBench.cleanDir(BenchSpillDir) // leftover tmpfs skews part 2
+    ScalingBench.cleanDir(BenchSpillDir)
 
-    // part 2: N->4N scaling probes, one fresh JVM per job. Default deploy
-    // is `cluster` — local-cluster[N,1,4608]: N vs 4N single-core executor
-    // JVMs, the literal north_rule shape (ScalingBench.session scaladoc);
-    // SPARK_GRAFT_SCALE_MODE=local restores the thread-arm probes.
-    val deploy = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "cluster")
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
-    val scaleSkew = sys.env.getOrElse("SPARK_GRAFT_SCALE_SKEW_ROWS", "4000000").toLong
-    // cluster deploy warms EVERY rep twice (fresh executor JVMs per
-    // session + single-threaded C2 under ActiveProcessorCount=1), so each
-    // rep costs 3 full runs per arm — 2 reps keeps part 2 near ~20 min
-    // while still measuring only warmed steady-state runs
-    val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt)
-      .getOrElse(if (deploy == "cluster") 3 else 5)
-    val w = scalingIsolated("window", scaleN, reps, deploy)
-    val t = scalingIsolated("tokens", scaleDocs, reps, deploy)
-    val sk = scalingIsolated("skew", scaleSkew, reps, "local")
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"window":$w,"tokens":$t,"skew":$sk}}""")
+    // Full-fidelity artifact (full query names, raw/steal arrays, the
+    // complete scaling JSON) — everything the tail-window-sized stdout
+    // line cannot carry — written to BENCH_DETAIL.json in the working
+    // directory; BASELINE.md points here for the audit trail.
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""sf":"$sfDir","scaling":{"window":$wFull,"tokens":$tFull,"skew":$skFull},""" +
+      s""""queries":$qsFull}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detail.getBytes("UTF-8"))
+      System.err.println(s"[bench] full detail -> BENCH_DETAIL.json (${detail.length} bytes)")
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+
+    // The FINAL stdout line is what the driver's BENCH capture parses, and
+    // it keeps only the last ~2 KB (rounds 2-3 shipped mid-JSON tails:
+    // q01-q34 invisible, parsed=null). Budget: qNN short keys (the unique
+    // query-name prefixes), 3-decimal seconds, compact scaling objects —
+    // ~1.3 KB total, whole line inside the window, so it parses.
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir",""" +
+      s""""scaling":{"window":$wCompact,"tokens":$tCompact,"skew":$skCompact},""" +
+      s""""queries":$qs}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING final line ${line.length} bytes > 1900 tail budget")
+    println(line)
   }
 }

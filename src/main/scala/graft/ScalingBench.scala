@@ -190,7 +190,9 @@ object ScalingBench {
       smallSec: Double, bigSec: Double,
       smallRaw: Seq[Double] = Nil, bigRaw: Seq[Double] = Nil,
       hostCeiling: Double = 0.0, ceilingJob: String = "",
-      smallSteal: Seq[Double] = Nil, bigSteal: Seq[Double] = Nil) {
+      smallSteal: Seq[Double] = Nil, bigSteal: Seq[Double] = Nil,
+      droppedSmall: Int = 0, droppedBig: Int = 0,
+      ceilingDirty: Boolean = false) {
     def efficiency: Double =
       if (ScalingBench.weak) smallSec / bigSec
       else (smallSec / bigSec) / (ScalingBench.nBig.toDouble / ScalingBench.nSmall)
@@ -223,10 +225,15 @@ object ScalingBench {
       // THIS host's hardware allows for the job's bound resource at the
       // same thread pair (1.0 = the job scales as well as raw hardware
       // does). Only meaningful alongside the raw efficiency — both ship.
+      // A ceiling whose every calibration attempt was steal-contaminated
+      // ships FLAGGED and without the derived efficiency_vs_ceiling (a
+      // dirty >1 "ceiling" would make the derived number nonsense).
       val ceil =
-        if (hostCeiling > 0)
+        if (hostCeiling > 0 && !ceilingDirty)
           s""","host_${ceilingJob}_ceiling":${f3(hostCeiling)},""" +
             s""""efficiency_vs_ceiling":${f3(efficiency / hostCeiling)}"""
+        else if (hostCeiling > 0)
+          s""","host_${ceilingJob}_ceiling":${f3(hostCeiling)},"ceiling_steal_dirty":true"""
         else ""
       s"""{"job":"$job","mode":"${if (ScalingBench.weak) "weak" else "strong"}",
          |"deploy":"${ScalingBench.mode}",
@@ -237,11 +244,30 @@ object ScalingBench {
          |"small_steal":${smallSteal.map(f3).mkString("[", ",", "]")},
          |"big_steal":${bigSteal.map(f3).mkString("[", ",", "]")},
          |"steal_clean_threshold":${f3(ScalingBench.StealClean)},
+         |"dropped_small":$droppedSmall,"dropped_big":$droppedBig,
          |"small_sec":${f3(smallSec)},"big_sec":${f3(bigSec)},
          |"small_rows_per_sec":${f3(rowsIn / smallSec)},"big_rows_per_sec":${f3(rowsIn / bigSec)},
          |"speedup":${f3(smallSec / bigSec)},"efficiency":${f3(efficiency)},
          |"efficiency_paired":${f3(efficiencyPaired)}$ceil}"""
         .stripMargin.replace("\n", "")
+    }
+
+    /** Tail-window-sized summary for the driver-visible artifact: the
+      * BENCH capture keeps only the LAST ~2 KB of output, and rounds 2-3
+      * lost q01-q34 to raw/steal arrays bloating the final JSON line past
+      * it. Everything here also ships, un-truncated, in BENCH_DETAIL.json.
+      */
+    def compactJson: String = {
+      val ceil =
+        if (hostCeiling > 0 && !ceilingDirty)
+          s""","ceiling":${f3(hostCeiling)},"eff_vs_ceiling":${f3(efficiency / hostCeiling)}"""
+        else if (hostCeiling > 0) s""","ceiling":${f3(hostCeiling)},"ceiling_dirty":true"""
+        else ""
+      s"""{"deploy":"${ScalingBench.mode}","n_small":${ScalingBench.nSmall},""" +
+        s""""n_big":${ScalingBench.nBig},"small_sec":${f3(smallSec)},""" +
+        s""""big_sec":${f3(bigSec)},"efficiency":${f3(efficiency)},""" +
+        s""""efficiency_paired":${f3(efficiencyPaired)},""" +
+        s""""dropped":[$droppedSmall,$droppedBig]$ceil}"""
     }
   }
 
@@ -324,11 +350,13 @@ object ScalingBench {
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
     // contamination only ever INFLATES a time: beyond the steal filter,
-    // samples slower than 1.5x the arm's own minimum are residual
-    // slow-mode draws, dropped before the median (raw arrays ship
-    // unfiltered for audit)
+    // samples slower than 1.5x the arm's MEDIAN are residual slow-mode
+    // draws, dropped before the final median. Median-anchored (ADVICE r3:
+    // a min-anchored cutoff is biased by one anomalously fast run silently
+    // shrinking the keep window), one-sided (slow only — contamination
+    // never makes a run faster), and the dropped count ships in the JSON.
     def steady(xs: Seq[Double]): Seq[Double] = {
-      val m = xs.min
+      val m = median(xs)
       xs.filter(_ <= 1.5 * m)
     }
     // medians over the steal-clean subset when ANY clean sample exists;
@@ -341,10 +369,16 @@ object ScalingBench {
     val rowsOut = small.head.rowsOut
     if (!weak) require((small.toSeq ++ big.toSeq).forall(_.rowsOut == rowsOut),
       "runs diverged across parallelism levels")
+    val smallUse = usable(small.toSeq)
+    val bigUse = usable(big.toSeq)
+    val smallSteady = steady(smallUse)
+    val bigSteady = steady(bigUse)
     Result(name, n, rowsOut,
-      median(steady(usable(small.toSeq))), median(steady(usable(big.toSeq))),
+      median(smallSteady), median(bigSteady),
       small.toSeq.map(_.sec), big.toSeq.map(_.sec),
-      smallSteal = small.toSeq.map(_.steal), bigSteal = big.toSeq.map(_.steal))
+      smallSteal = small.toSeq.map(_.steal), bigSteal = big.toSeq.map(_.steal),
+      droppedSmall = smallUse.length - smallSteady.length,
+      droppedBig = bigUse.length - bigSteady.length)
   }
 
   /** Skew probe (north rule: "skew handled explicitly" — demonstrated by
@@ -361,25 +395,32 @@ object ScalingBench {
     * arm only (skew is a parallelism property; the 1-core arm can't show
     * stragglers).
     */
-  def skewProbe(spark: SparkSession, n: Long): (Long, Double, Double) = {
+  def skewProbe(spark: SparkSession, n: Long): ((Long, Long), Double, Double) = {
     import graft.ops.{IntervalJoin, Overlap}
     val probes = Synth.skewedProbes(spark, n)
     val feats = Synth.featureIntervals(spark, n / 4, nEntities = 64)
       .drop("group_id", "ftype", "attr")
-    def run(binSize: Long): (Long, Double) = {
+    // checksum = (row count, order-insensitive content hash sum) — BOTH
+    // aggregates are read and compared across the two partitioning paths
+    // (ADVICE r3: reading only the count let the paths diverge in VALUES
+    // and still pass the "identical output" require)
+    def run(binSize: Long): ((Long, Long), Double) = {
       // steal-guarded: re-measure (once) if a hypervisor burst landed on
       // this run — the probe is comparative, but a burst on ONE side would
       // fake (or mask) the skew effect
-      var out: (Long, Double) = null
+      var out: ((Long, Long), Double) = null
       var attempt = 0
       var clean = false
       while (attempt < 2 && !clean) {
         val (st0, tot0) = cpuJiffies()
-        out = timed {
+        val t0 = System.nanoTime()
+        val r = {
           val o = IntervalJoin.sweepJoin(probes, feats, Overlap, binSize)
-          o.agg(count(lit(1)), sum(pmod(xxhash64(o.columns.map(col): _*), lit(1000000007L))))
-            .collect()(0).getLong(0)
+          val row = o.agg(count(lit(1)),
+            sum(pmod(xxhash64(o.columns.map(col): _*), lit(1000000007L)))).collect()(0)
+          (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
         }
+        out = (r, (System.nanoTime() - t0) / 1e9)
         val (st1, tot1) = cpuJiffies()
         clean = tot1 <= tot0 || (st1 - st0).toDouble / (tot1 - tot0) <= StealClean
         attempt += 1
@@ -389,7 +430,8 @@ object ScalingBench {
     run(4096L); run(1L << 40) // warmup both paths (JIT + codegen)
     val (kBinned, tBinned) = run(4096L)
     val (kEntity, tEntity) = run(1L << 40)
-    require(kBinned == kEntity, "skew probe paths diverged")
+    require(kBinned == kEntity,
+      s"skew probe paths diverged: binned (rows, hash)=$kBinned vs entity-hash $kEntity")
     (kBinned, tBinned, tEntity)
   }
 
@@ -423,24 +465,37 @@ object ScalingBench {
         clean = tot1 <= tot0 || (st1 - st0).toDouble / (tot1 - tot0) <= StealClean
         attempt += 1
       }
-      r.copy(hostCeiling = ceiling, ceilingJob = job)
+      // every attempt contaminated -> the ceiling ships FLAGGED (ADVICE
+      // r3: a dirty ceiling must not feed efficiency_vs_ceiling silently)
+      r.copy(hostCeiling = ceiling, ceilingJob = job, ceilingDirty = !clean)
+    }
+    // two lines per probe: `SCALING {full}` (raw/steal arrays, for
+    // BENCH_DETAIL.json) and `SCALINGC {compact}` (for the tail-window-
+    // sized final Bench line the driver captures)
+    def emit(r: Result): Unit = {
+      println(s"SCALING ${r.json}")
+      println(s"SCALINGC ${r.compactJson}")
     }
     if (which == "all" || which == "window")
-      println(s"SCALING ${withCeiling(measure(windowJob, "window_features_asof", nWin, reps), "copy").json}")
+      emit(withCeiling(measure(windowJob, "window_features_asof", nWin, reps), "copy"))
     if (which == "fused")
-      println(s"SCALING ${withCeiling(measure(fusedJob, "fused_stack_asof", nWin, reps), "copy").json}")
+      emit(withCeiling(measure(fusedJob, "fused_stack_asof", nWin, reps), "copy"))
     if (which == "all" || which == "tokens")
-      println(s"SCALING ${withCeiling(measure(tokenJob, "tokenize_fingerprint_quality", nTok, reps), "compute").json}")
+      emit(withCeiling(measure(tokenJob, "tokenize_fingerprint_quality", nTok, reps), "compute"))
     if (which == "skew") {
       // one arm (nBig cores), comparative: binned vs entity-hash keys
       cleanDir(spillDir(nBig))
       val s = session(nBig)
       s.sparkContext.setLogLevel("WARN")
       try {
-        val (checksum, tBinned, tEntity) = skewProbe(s, nSkew)
-        println(f"""SCALING {"job":"skew_hot_entity","deploy":"$mode","n_cores":$nBig,""" +
-          f""""rows":$nSkew,"hot_frac":0.5,"checksum":$checksum,""" +
+        val ((rows, hash), tBinned, tEntity) = skewProbe(s, nSkew)
+        val j = f"""{"job":"skew_hot_entity","deploy":"$mode","n_cores":$nBig,""" +
+          f""""rows":$nSkew,"hot_frac":0.5,"checksum_rows":$rows,"checksum_hash":$hash,""" +
           f""""binned_sec":$tBinned%.3f,"entity_hash_sec":$tEntity%.3f,""" +
+          f""""binned_speedup":${tEntity / tBinned}%.3f}"""
+        println(s"SCALING $j")
+        // compact: drop the checksum detail, keep the comparative numbers
+        println(f"""SCALINGC {"binned_sec":$tBinned%.3f,"entity_hash_sec":$tEntity%.3f,""" +
           f""""binned_speedup":${tEntity / tBinned}%.3f}""")
       } finally s.stop()
     }
