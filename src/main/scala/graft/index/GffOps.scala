@@ -77,19 +77,6 @@ object GffOps {
         sort_array(collect_list(col("probe_id"))).as("probe_ids"))
   }
 
-  /** Per-line re-check predicate for `mode` over feature (start, end) vs
-    * probe (q_start, q_end) — the same three-mode semantics as
-    * [[IntervalJoin.predicate]], applied line-by-line (intersect.rs:500-517).
-    */
-  private def lineModePredicate(mode: OverlapMode) = mode match {
-    case graft.ops.Overlap =>
-      col("start") < col("q_end") && col("end") > col("q_start")
-    case graft.ops.Contained =>
-      col("start") >= col("q_start") && col("end") <= col("q_end")
-    case graft.ops.ContainsRegion =>
-      col("start") <= col("q_start") && col("end") >= col("q_end")
-  }
-
   /** intersect: probe regions against the root-interval table (J1), mode +
     * invert (P3/P4), then either matched groups' full rows ("entire-group",
     * intersect.rs:647-652) or per-feature re-checked rows ("match-only",
@@ -121,12 +108,24 @@ object GffOps {
       val roots = hits.select(col("root_fid")).distinct()
       val rows = t.features.join(roots, "root_fid")
       val out0 = if (matchOnly || types.nonEmpty) {
-        // re-check each line with the SELECTED mode (intersect.rs:500-517)
-        val q = probes.select(col("entity").as("entity_id"),
-          col("start").as("q_start"), col("end").as("q_end"))
-        rows.join(q, Seq("entity_id"))
-          .where(lineModePredicate(mode))
-          .drop("q_start", "q_end").dropDuplicates("fid")
+        // re-check each line with the SELECTED mode (intersect.rs:500-517,
+        // re-check confined to matched blocks) — routed through the
+        // interval-join kernel as a SECOND interval join of the matched
+        // groups' lines against the probes. Round 3 shipped this as an
+        // entity-only equi-join x line predicate: per-entity
+        // |rows| x |probes| pair work, the one quadratic path left in the
+        // codebase — a scale-killer at BED-scale probe sets (millions of
+        // regions on one chromosome). The kernel's auto path broadcasts a
+        // small probe side and bins otherwise, and the predicate mapping
+        // is identical: feature (start,end) = f_*, probe = p_*.
+        val lineIvs = rows.withColumnRenamed("entity_id", "entity")
+        IntervalJoin.join(probes, lineIvs, mode)
+          .select(rows.columns.map {
+            case "entity_id" => col("entity").as("entity_id")
+            case "start"     => col("f_start").as("start")
+            case "end"       => col("f_end").as("end")
+            case c           => col(c)
+          }: _*).dropDuplicates("fid")
       } else rows
       val out = if (types.nonEmpty) out0.where(col("ftype").isin(types: _*)) else out0
       out.orderBy(col("line_no"))
