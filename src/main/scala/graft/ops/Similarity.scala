@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+// (hot-bucket discipline mirrors ops.Dedup: cap + audit, never silent)
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>). Brute-force cosine top-k is the exact baseline; the
@@ -69,6 +70,54 @@ object Similarity {
       .select(col(outId), col("__band.g").as("g"), col("__band.bkt").as("bkt"))
   }
 
+  /** Corpus-side hot-bucket cap — the same discipline as
+    * Dedup.minHashLshPairs (Dedup.scala maxBucket): a (table, bucket) pair
+    * shared by more than `maxBucket` corpus vectors is non-discriminative
+    * (at fixed bandBits, bucket population grows O(N/2^bandBits), so
+    * without a cap the in-bucket pair work approaches all-pairs as the
+    * corpus grows). Such buckets are dropped DETERMINISTICALLY — the same
+    * rule on the oracle side — and are auditable via [[bucketAudit]], not
+    * silently vanished. The query/probe side stays uncapped: a query in a
+    * hot bucket simply finds no candidates there.
+    */
+  private def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("g"), col("bkt"))))
+      .where(col("__bn") <= maxBucket).drop("__bn")
+
+  /** Audit table for the band-bucket cap: EVERY (table, bucket) population
+    * with its drop flag — no silent truncation anywhere in the ANN /
+    * near-dup family (the dropped rows are exactly `dropped = true`).
+    */
+  def bucketAudit(corpus: DataFrame, idCol: String, embCol: String,
+      bandBits: Int = 4, nBands: Int = 12, dim: Int = 64,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandRows(corpus, idCol, embCol, bandBits, nBands, dim, "id")
+      .groupBy(col("g"), col("bkt")).agg(count(lit(1)).as("n_vec"))
+      .withColumn("dropped", col("n_vec") > maxBucket)
+
+  /** Default corpus-side bucket cap. Sized to be inactive at healthy load
+    * (uniform load at the default 16 buckets/band stays under it through
+    * ~sf1) while bounding the reducer work a degenerate bucket (constant
+    * embeddings, near-duplicate floods) can create: in-bucket pair work is
+    * capped at maxBucket^2 regardless of corpus size. At real 100-TB
+    * corpus sizes bandBits must also grow with log N —
+    * [[bandBitsForCorpus]] gives the schedule — but the cap is the
+    * guard-rail that holds even when it is mis-set.
+    */
+  val DefaultMaxBucket = 4096
+
+  /** bandBits schedule for a corpus of `n` vectors: enough sign-test bits
+    * that the EXPECTED bucket population stays near `targetBucket`
+    * (2^bits ~ n / targetBucket). Callers at fixed scale can keep the
+    * explicit parameter; pipelines over growing corpora derive it.
+    */
+  def bandBitsForCorpus(n: Long, targetBucket: Int = 256): Int = {
+    require(n > 0 && targetBucket > 0)
+    val needed = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(math.max(4, needed), 30)
+  }
+
   /** Embedding-cosine NEAR-DUP pairs — the dedup-family member over the
     * embedding column: all (da < db) pairs sharing an LSH band bucket
     * (Hamming-1 multi-probe on the left side) whose exact cosine clears
@@ -79,14 +128,14 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
       threshold: Double, bandBits: Int = 4, nBands: Int = 12,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val base = withNorm(corpus, embCol)
     val masks = 0L +: (0 until bandBits).map(j => 1L << j)
     val a = bandRows(base, idCol, embCol, bandBits, nBands, dim, "da")
       .select(col("da"), col("g"), col("bkt"),
         explode(array(masks.map(lit(_)): _*)).as("__m"))
       .select(col("da"), col("g"), col("bkt").bitwiseXOR(col("__m")).as("bkt"))
-    val b = bandRows(base, idCol, embCol, bandBits, nBands, dim, "db")
+    val b = capBuckets(bandRows(base, idCol, embCol, bandBits, nBands, dim, "db"), maxBucket)
     val pairs = a.join(b, Seq("g", "bkt"))
       .where(col("da") < col("db"))
       .select("da", "db").distinct()
@@ -114,7 +163,8 @@ object Similarity {
     */
   def cosineKnnLshBanded(corpus: DataFrame, idCol: String, embCol: String,
       queryPred: String, k: Int, bandBits: Int = 4, nBands: Int = 12,
-      dim: Int = 64, multiProbe: Boolean = false): DataFrame = {
+      dim: Int = 64, multiProbe: Boolean = false,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val base = withNorm(corpus, embCol)
     def bands(df: DataFrame, outId: String): DataFrame =
       bandRows(df, idCol, embCol, bandBits, nBands, dim, outId)
@@ -134,7 +184,7 @@ object Similarity {
           explode(array(masks.map(lit(_)): _*)).as("__m"))
           .select(col("qid"), col("g"), col("bkt").bitwiseXOR(col("__m")).as("bkt"))
       }
-    val nb = bands(base, "nid")
+    val nb = capBuckets(bands(base, "nid"), maxBucket)
     val pairs = qb.join(nb, Seq("g", "bkt"))
       .where(col("qid") =!= col("nid"))
       .select("qid", "nid").distinct()

@@ -126,13 +126,17 @@ object TextQueries {
 
   // q25 — banded multi-table ANN top-3 (12 tables x 4 sign-test bits,
   // OR-construction) with query-side Hamming-1 MULTI-PROBE; recall vs the
-  // exact baseline measured by q37.
+  // exact baseline measured by q37. Corpus-side hot buckets past
+  // AnnMaxBucket are dropped deterministically on BOTH engines (the
+  // Dedup.maxBucket discipline ported to the ANN family; audited by q52).
   private val AnnBandBits = 4
   private val AnnBands = 12
+  private val AnnMaxBucket = Similarity.DefaultMaxBucket
 
   val q25: Q = (s, d) =>
     Similarity.cosineKnnLshBanded(Views.table(s, d, "embeddings"), "vec_id", "embedding",
-      "vec_id % 40 = 0", 3, AnnBandBits, AnnBands, 64, multiProbe = true)
+      "vec_id % 40 = 0", 3, AnnBandBits, AnnBands, 64, multiProbe = true,
+      maxBucket = AnnMaxBucket)
 
   /** DuckDB twin of Similarity.lshBucketExpr for band `g`. */
   private def duckBand(g: Int): String =
@@ -152,10 +156,13 @@ object TextQueries {
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
        |  list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2 FROM embeddings),
        |bands AS ($bandSelects),
+       |cb AS (SELECT vec_id, g, bkt FROM
+       |  (SELECT vec_id, g, bkt, count(*) OVER (PARTITION BY g, bkt) AS bn FROM bands)
+       |  WHERE bn <= $AnnMaxBucket),
        |qb AS (SELECT vec_id AS qid, g, xor(bkt, m) AS bkt
        |  FROM bands, UNNEST([0, 1, 2, 4, 8]) AS t(m) WHERE vec_id % 40 = 0),
        |pairs AS (SELECT DISTINCT qb.qid, nb.vec_id AS nid
-       |  FROM qb JOIN bands nb ON nb.g = qb.g AND nb.bkt = qb.bkt AND nb.vec_id <> qb.qid),
+       |  FROM qb JOIN cb nb ON nb.g = qb.g AND nb.bkt = qb.bkt AND nb.vec_id <> qb.qid),
        |ls AS (SELECT p.qid, p.nid, list_inner_product(q.emb, n.emb) / sqrt(q.n2 * n.n2) AS cos
        |  FROM pairs p JOIN e q ON q.vec_id = p.qid JOIN e n ON n.vec_id = p.nid),
        |lr AS (SELECT qid, nid, cos,
@@ -205,7 +212,7 @@ object TextQueries {
   // recall is measured separately by q37).
   val q50: Q = (s, d) =>
     Similarity.cosineNearDupPairs(Views.table(s, d, "embeddings"), "vec_id", "embedding",
-      0.45, AnnBandBits, AnnBands, 64)
+      0.45, AnnBandBits, AnnBands, 64, maxBucket = AnnMaxBucket)
 
   val q50Sql: String = {
     val bandSelects = (0 until AnnBands).map(g =>
@@ -213,14 +220,36 @@ object TextQueries {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
        |  list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2 FROM embeddings),
        |bands AS ($bandSelects),
+       |cb AS (SELECT vec_id, g, bkt FROM
+       |  (SELECT vec_id, g, bkt, count(*) OVER (PARTITION BY g, bkt) AS bn FROM bands)
+       |  WHERE bn <= $AnnMaxBucket),
        |ab AS (SELECT vec_id, g, xor(bkt, m) AS bkt
        |  FROM bands, UNNEST([0, 1, 2, 4, 8]) AS t(m)),
        |pairs AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
-       |  FROM ab a JOIN bands b ON b.g = a.g AND b.bkt = a.bkt AND a.vec_id < b.vec_id),
+       |  FROM ab a JOIN cb b ON b.g = a.g AND b.bkt = a.bkt AND a.vec_id < b.vec_id),
        |scored AS (SELECT p.da, p.db,
        |  list_inner_product(x.emb, y.emb) / sqrt(x.n2 * y.n2) AS cos
        |  FROM pairs p JOIN e x ON x.vec_id = p.da JOIN e y ON y.vec_id = p.db)
        |SELECT da, db, cos FROM scored WHERE cos >= 0.45""".stripMargin
+  }
+
+  // q52 — band-bucket audit for the ANN/near-dup cap: EVERY (table,
+  // bucket) population with its drop flag (Similarity.bucketAudit — the
+  // "no silent truncation" companion of q25/q50, like Dedup.droppedBands
+  // for q21). At test scale nothing is dropped (all `dropped = false`);
+  // the oracle proves the POPULATION arithmetic, which is what the cap
+  // fires on.
+  val q52: Q = (s, d) =>
+    Similarity.bucketAudit(Views.table(s, d, "embeddings"), "vec_id", "embedding",
+      AnnBandBits, AnnBands, 64, AnnMaxBucket)
+
+  val q52Sql: String = {
+    val bandSelects = (0 until AnnBands).map(g =>
+      s"SELECT vec_id, $g AS g, ${duckBand(g)} AS bkt FROM embeddings").mkString(" UNION ALL ")
+    s"""WITH bands AS ($bandSelects)
+       |SELECT CAST(g AS BIGINT) AS g, CAST(bkt AS BIGINT) AS bkt,
+       | count(*) AS n_vec, count(*) > $AnnMaxBucket AS dropped
+       |FROM bands GROUP BY g, bkt""".stripMargin
   }
 
   // q26 — marker-profile language/topic ID.
@@ -297,6 +326,7 @@ object TextQueries {
       |FROM documents""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q52_bucket_audit" -> q52,
     "q50_embed_neardup" -> q50,
     "q30_multimodal_meta" -> q30,
     "q37_ann_recall" -> q37,
@@ -313,6 +343,7 @@ object TextQueries {
     "q29_fingerprint" -> q29)
 
   val oracles: Map[String, String] = Map(
+    "q52_bucket_audit" -> q52Sql,
     "q50_embed_neardup" -> q50Sql,
     "q30_multimodal_meta" -> q30Sql,
     "q37_ann_recall" -> q37Sql,

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Round-4 additions: the Similarity band-join hot-bucket cap (the
+  * Dedup.maxBucket discipline ported to the ANN/near-dup family — VERDICT
+  * r3 "what's wrong" #4) and its audit table.
+  */
+class Round4Spec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 near-identical vectors (one dominant coordinate pattern) — every
+  // band hashes them into the SAME bucket — plus 8 scattered ones.
+  private lazy val flooded = {
+    val hot = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => (j % 7).toFloat + i * 1e-4f))
+    }
+    val cold = (100 until 108).map { i =>
+      val rnd = new scala.util.Random(i * 31)
+      (i.toLong, Array.fill(64)(rnd.nextFloat()))
+    }
+    (hot ++ cold).toDF("vec_id", "embedding")
+  }
+
+  test("near-dup pairs: hot buckets past maxBucket are dropped, and only those") {
+    val uncapped = Similarity.cosineNearDupPairs(flooded, "vec_id", "embedding",
+      0.99, maxBucket = 10000)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // the 40 near-identical vectors all pair up above 0.99 cosine
+    assert(uncapped.size >= 40 * 39 / 2, s"expected hot clique, got ${uncapped.size}")
+    val capped = Similarity.cosineNearDupPairs(flooded, "vec_id", "embedding",
+      0.99, maxBucket = 16)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty,
+      s"every band bucket of the hot clique holds 40 > 16 vectors -> no pairs; got $capped")
+  }
+
+  test("bucket audit flags exactly the over-populated buckets (no silent truncation)") {
+    val audit = Similarity.bucketAudit(flooded, "vec_id", "embedding", maxBucket = 16)
+      .select("g", "bkt", "n_vec", "dropped")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(audit.forall { case (_, _, n, d) => d == (n > 16) })
+    assert(audit.count(_._4) >= 12, "each of the 12 bands has one 40-vector bucket")
+    // audit populations account for every (vector, band) row
+    assert(audit.map(_._3).sum == 48L * 12)
+  }
+
+  test("banded knn respects the corpus-side cap; query side stays uncapped") {
+    val knnCapped = Similarity.cosineKnnLshBanded(flooded, "vec_id", "embedding",
+      "vec_id < 2", 3, multiProbe = true, maxBucket = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // hot-clique neighbors live only in dropped buckets -> no candidates
+    assert(knnCapped.forall { case (_, nid) => nid >= 100 },
+      s"capped corpus buckets must not supply candidates: $knnCapped")
+    val knnOpen = Similarity.cosineKnnLshBanded(flooded, "vec_id", "embedding",
+      "vec_id < 2", 3, multiProbe = true, maxBucket = 10000)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(knnOpen.exists { case (_, nid) => nid < 100 })
+  }
+
+  test("bandBits schedule grows with corpus size, floored and capped") {
+    assert(Similarity.bandBitsForCorpus(1000) == 4) // floor
+    assert(Similarity.bandBitsForCorpus(1000000, 256) == 12)
+    assert(Similarity.bandBitsForCorpus(1000000000000L, 256) == 30) // cap
+    assert(Similarity.bandBitsForCorpus(1L << 40, 256) <= 30)
+  }
+
+  test("scaling Result compact JSON carries the rule fields inside the tail budget") {
+    val r = ScalingBench.Result("window_features_asof", 1000, 1000, 10.0, 3.0,
+      smallRaw = Seq(10.0, 10.2), bigRaw = Seq(3.0, 3.1),
+      hostCeiling = 0.9, ceilingJob = "copy",
+      droppedSmall = 1, droppedBig = 0)
+    val c = r.compactJson
+    assert(c.contains("\"efficiency\":") && c.contains("\"efficiency_paired\":"))
+    assert(c.contains("\"dropped\":[1,0]") && c.contains("\"eff_vs_ceiling\":"))
+    assert(c.length < 250, s"compact JSON must stay small, was ${c.length}")
+    // dirty ceiling: flag ships, derived ratio does not
+    val dirty = r.copy(ceilingDirty = true).compactJson
+    assert(dirty.contains("\"ceiling_dirty\":true") && !dirty.contains("eff_vs_ceiling"))
+  }
+}
