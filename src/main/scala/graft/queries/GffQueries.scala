@@ -288,11 +288,27 @@ object GffQueries {
   // BED fixture rendered ONCE per (JVM, sf-dir) into a stable scratch dir
   // (q42 scan + the q43/q44 end-to-end pipelines share it); comment lines,
   // malformed coordinates and extra BED columns baked in.
-  private val bedRendered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  //
+  // Render-once synchronization (ADVICE r3): the render runs INSIDE the
+  // monitor and the dir is marked rendered only AFTER the write succeeds —
+  // the old add-then-write let a concurrent caller read a half-written dir,
+  // and a failed write poisoned the mark for the rest of the JVM. Scratch
+  // fixtures are tiny (the lock is held for a sub-second local write); the
+  // same helper serves the q51 persisted-index scratch.
+  private val renderedDirs = scala.collection.mutable.Set[String]()
 
-  def bedFixtureDir(s: SparkSession, d: String): String = {
-    val dir = Views.scratchDir("bedfix", d)
-    if (bedRendered.add(dir)) {
+  private def renderOnce(dir: String)(render: => Unit): String =
+    renderedDirs.synchronized {
+      if (!renderedDirs.contains(dir)) {
+        render
+        renderedDirs.add(dir)
+      }
+      dir
+    }
+
+  def bedFixtureDir(s: SparkSession, d: String): String =
+    renderOnce(Views.scratchDir("bedfix", d)) {
+      val dir = Views.scratchDir("bedfix", d)
       val lines = Views.table(s, d, "orders").where(col("o_orderkey") % 25 === 0)
         .select(
           when(col("o_orderkey") % 250 === 0, lit("# browser position chr1"))
@@ -307,8 +323,6 @@ object GffQueries {
             .as("value"))
       lines.write.mode("overwrite").text(dir)
     }
-    dir
-  }
 
   val q42: Q = (s, d) => GffSource.readBed(s, bedFixtureDir(s, d))
 
@@ -544,7 +558,31 @@ object GffQueries {
        |ml AS (SELECT DISTINCT g.line_no FROM gfull g JOIN xr ON xr.root_fid = g.root_fid)
        |SELECT r.line_no, r.value FROM rawlines r JOIN ml ON ml.line_no = r.line_no""".stripMargin
 
+  // q51 — PERSISTED-index round-trip (index-once/query-many across JOBS,
+  // not just sessions): the in-memory index tables written as partitioned
+  // parquet + manifest (IndexBuild.write ≙ the reference's 8 sidecar
+  // files, common.rs:151-170 + tree_io.rs:37-63), re-opened cold by
+  // IndexBuild.load, and q33's extract re-run over the LOADED tables
+  // against q33's unchanged oracle — proof the parquet index serves
+  // byte-identically to the freshly-built one (README.md:383-395: a
+  // reference user indexes once, then extracts from the sidecars forever).
+  val q51: Q = (s, d) => {
+    val dir = renderOnce(Views.scratchDir("gffidx_q51", d)) {
+      IndexBuild.write(index(s, d), Views.scratchDir("gffidx_q51", d))
+    }
+    val t = IndexBuild.load(s, dir)
+    val names = Views.table(s, d, "orders")
+      .where(col("o_orderkey") % 30 === 0)
+      .select(concat(lit("f"), col("o_orderkey").cast("long").cast("string"),
+        lit("_1")).as("name"))
+    GffOps.extract(t, names)
+      .select("line_no", "fid", "id", "ftype", "start", "end", "root_fid")
+  }
+
+  val q51Sql: String = q33Sql
+
   val defs: Map[String, Q] = Map(
+    "q51_index_roundtrip" -> q51,
     "q49_raw_block_sink" -> q49,
     "q42_bed_scan" -> q42,
     "q32_gff_index" -> q32,
@@ -560,6 +598,7 @@ object GffQueries {
     "q48_missing_names" -> q48)
 
   val oracles: Map[String, String] = Map(
+    "q51_index_roundtrip" -> q51Sql,
     "q49_raw_block_sink" -> q49Sql,
     "q42_bed_scan" -> q42Sql,
     "q32_gff_index" -> q32Sql,
