@@ -39,8 +39,20 @@ object Checkpoint {
       written: Seq[PartitionManifest],
       skipped: Seq[String])
 
+  /** Partition directory name for a bucket value, escaped with the SAME
+    * rule Spark's partition writer uses (ExternalCatalogUtils — Hive-style
+    * %XX for '/', ':', '%', control chars, ...). ADVICE r3: building raw
+    * "$col=$value" paths silently missed every bucket whose value needs
+    * escaping — the File.exists filter dropped them and their manifests
+    * recorded rows=0 despite data landing.
+    */
+  private def partitionDirName(bucketCol: String, bucket: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(bucketCol, bucket)
+
   private def manifestPath(outDir: String, bucket: String) =
-    Paths.get(s"$outDir/_manifests/bucket=$bucket.json")
+    Paths.get(s"$outDir/_manifests/" +
+      partitionDirName("bucket", bucket) + ".json")
 
   def isCommitted(outDir: String, bucket: String): Boolean =
     Files.exists(manifestPath(outDir, bucket))
@@ -93,7 +105,7 @@ object Checkpoint {
       .partitionBy(bucketCol)
       .parquet(outDir)
     val spark = df.sparkSession
-    val writtenPaths = pending.map(b => s"$outDir/$bucketCol=$b")
+    val writtenPaths = pending.map(b => s"$outDir/${partitionDirName(bucketCol, b)}")
       .filter(p => new java.io.File(p).exists) // zero-row buckets write no dir
     val stats =
       if (writtenPaths.isEmpty) Map.empty[String, org.apache.spark.sql.Row]
@@ -124,7 +136,7 @@ object Checkpoint {
   def readCommitted(spark: SparkSession, outDir: String, bucketCol: String,
       buckets: Seq[String]): DataFrame = {
     val paths = buckets.filter(isCommitted(outDir, _))
-      .map(b => s"$outDir/$bucketCol=$b")
+      .map(b => s"$outDir/${partitionDirName(bucketCol, b)}")
       .filter(p => new java.io.File(p).exists) // committed-but-empty bucket
     spark.read.option("basePath", outDir).parquet(paths: _*)
   }

@@ -53,6 +53,24 @@ class CheckpointSpec extends SparkSpec {
     assert(onDisk.contains("\"rows\":250") && onDisk.contains("unit-test-input"))
   }
 
+  test("bucket values needing partition-path escaping round-trip (ADVICE r3)") {
+    // ':' '/' '%' are escaped by Spark's partition writer; the stats
+    // read-back and readCommitted must build the SAME escaped dir names,
+    // or these buckets silently record rows=0 despite data landing
+    val odd = Seq("a:b", "p/q", "100%")
+    val d2 = odd.zipWithIndex.flatMap { case (b, i) =>
+      (0 until 10).map(j => (b, (i * 10 + j).toLong, j.toLong))
+    }.toDF("bucket", "t", "v")
+    val dir = freshDir()
+    val r = Checkpoint.runPartitioned(d2, "bucket", odd, dir, "t")
+    assert(r.written.map(_.bucket).toSet == odd.toSet)
+    assert(r.written.forall(_.rows == 10),
+      s"stats must resolve escaped partition dirs: ${r.written.map(m => m.bucket -> m.rows)}")
+    assert(Checkpoint.readCommitted(spark, dir, "bucket", odd).count() == 30)
+    val r2 = Checkpoint.runPartitioned(d2, "bucket", odd, dir, "t")
+    assert(r2.skipped.toSet == odd.toSet, "escaped buckets must be seen as committed on resume")
+  }
+
   test("metrics listener captures task/record counts around a job") {
     val (cnt, json) = MetricsListener.around(spark) {
       spark.range(100000).select(sum("id")).collect()(0).getLong(0)
