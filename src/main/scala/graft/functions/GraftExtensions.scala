@@ -35,5 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("dot_f",
         "dot_f(x, y) - strict left-to-right double dot product of two float arrays"),
       (children: Seq[Expression]) => DotExpr(children.head, children(1))))
+    // SQL front-end for the interval family: ad-hoc theta joins matching
+    // the overlap pattern re-plan onto the binned (entity, bin) equi-join
+    // (see graft.plans.IntervalBinRule — the last fidelity gap between
+    // SparkEntry.queries and user SQL).
+    ext.injectOptimizerRule(_ => graft.plans.IntervalBinRule)
   }
 }
