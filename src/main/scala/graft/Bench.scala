@@ -47,6 +47,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", BenchSpillDir)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
   }
 

@@ -581,7 +581,43 @@ object GffQueries {
 
   val q51Sql: String = q33Sql
 
+  // q53 — the SQL FRONT-END end-to-end: q36's bulk interval join written
+  // as the PLAIN theta-join SQL a user would type, executed through
+  // spark.sql in a session whose extensions load plans/IntervalBinRule.
+  // With the broadcast guard forced open (both sides "big", the 100-TB
+  // posture), the optimizer rewrites the theta join onto the binned
+  // (entity, bin) equi-join — the engine path — and the result must
+  // match the same SQL's DuckDB answer (q36's oracle). This closes the
+  // fidelity gap between SparkEntry.queries and ad-hoc user SQL
+  // (reference analog: the index-vs-scan choice at query open,
+  // intersect.rs:104-133).
+  val q53: Q = (s, d) => {
+    Views.probesBulk(s, d).createOrReplaceTempView("graft_q53_probes")
+    Views.feats(s, d).select(col("entity"), col("start"), col("end"), col("fid"))
+      .createOrReplaceTempView("graft_q53_feats")
+    val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = s.sql(
+        """SELECT p.probe_id AS probe_id, count(*) AS n_matches,
+          |  sum(f.fid) AS sum_fid
+          |FROM graft_q53_probes p JOIN graft_q53_feats f
+          |  ON p.entity = f.entity AND p.start < f.end AND p.end > f.start
+          |GROUP BY p.probe_id""".stripMargin)
+      // materialize the plan under the forced threshold (queryExecution
+      // is lazy; touching executedPlan pins it before the conf restore)
+      val planStr = df.queryExecution.executedPlan.toString
+      if (!planStr.contains("__graft_bin"))
+        System.err.println("[q53] WARNING: IntervalBinRule did not engage " +
+          "(session extensions not loaded?) — result still correct, path is not the engine's")
+      df
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  val q53Sql: String = q36Sql
+
   val defs: Map[String, Q] = Map(
+    "q53_sql_frontend" -> q53,
     "q51_index_roundtrip" -> q51,
     "q49_raw_block_sink" -> q49,
     "q42_bed_scan" -> q42,
@@ -598,6 +634,7 @@ object GffQueries {
     "q48_missing_names" -> q48)
 
   val oracles: Map[String, String] = Map(
+    "q53_sql_frontend" -> q53Sql,
     "q51_index_roundtrip" -> q51Sql,
     "q49_raw_block_sink" -> q49Sql,
     "q42_bed_scan" -> q42Sql,
