@@ -50,6 +50,59 @@ class IntervalBinRuleSpec extends SparkSpec {
     }
   }
 
+  test("adversarial inputs: nulls, empty/inverted intervals, bin-boundary and multi-bin spans") {
+    // every degenerate shape the emit-once proof has to survive:
+    //  - start/end exactly on the 8192 bin boundary
+    //  - empty (start == end) and INVERTED (end < start) intervals
+    //  - intervals spanning dozens of bins (heavy replication + dedup)
+    //  - null entity / null coordinates (theta join drops them; the
+    //    rewrite must too — explode(sequence(null,..)) emits no row)
+    def mkRows(n: Int, seed: Int) = (0 until n).map { i =>
+      val r = new scala.util.Random(seed * 1000003 + i)
+      val s: java.lang.Long = r.nextInt(10) match {
+        case 0 => null
+        case 1 => (r.nextInt(6).toLong) * 8192L // exact boundary
+        case _ => r.nextInt(50000).toLong
+      }
+      val e: java.lang.Long =
+        if (s == null) java.lang.Long.valueOf(r.nextInt(50000).toLong)
+        else r.nextInt(10) match {
+          case 0 => s // empty
+          case 1 => java.lang.Long.valueOf(s - 1 - r.nextInt(3000)) // inverted
+          case 2 => null
+          case 3 => java.lang.Long.valueOf(s + 8192L * (1 + r.nextInt(30))) // multi-bin
+          case _ => java.lang.Long.valueOf(s + 1 + r.nextInt(4000))
+        }
+      val ent: String = if (r.nextInt(12) == 0) null else s"e${r.nextInt(4)}"
+      (ent, s, e, i.toLong)
+    }
+    mkRows(1200, 7).toDF("entity", "start", "end", "probe_id")
+      .createOrReplaceTempView("probes_adv")
+    mkRows(900, 13).toDF("entity", "start", "end", "fid")
+      .createOrReplaceTempView("feats_adv")
+    val sqlText =
+      """SELECT p.probe_id, f.fid FROM probes_adv p JOIN feats_adv f
+        |  ON p.entity = f.entity AND p.start < f.end AND p.end > f.start""".stripMargin
+    val expected = spark.sql(sqlText).as[(Long, Long)].collect().toSet
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntervalBinRule
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(sqlText)
+      assert(df.queryExecution.executedPlan.toString.contains("__graft_bin"))
+      val got = df.as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, "exactly-once emit must not duplicate pairs")
+      assert(got.toSet == expected,
+        s"rewrite diverged: missing=${(expected -- got.toSet).take(5)} " +
+          s"extra=${(got.toSet -- expected).take(5)}")
+      assert(expected.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == IntervalBinRule)
+    }
+  }
+
   test("broadcastable side leaves the plan alone; extra conjuncts are preserved") {
     val (a, b) = fixture()
     a.createOrReplaceTempView("probes_r")
