@@ -330,7 +330,11 @@ object ScalingBench {
     // visits while an arm lacks enough steal-clean samples, bounded.
     val baseVisits = math.max(3, reps)
     val maxVisits = baseVisits * 2
-    val targetClean = 2 * perVisit
+    // one short of the full 2-visit sample count: a SINGLE marginally
+    // steal-dirty sample must not force a whole extra ~2-4 min visit
+    // (median over 5 clean samples is already stable; the round-4 dress
+    // run paid 2 extra visits, ~8 min, to one 2.1% sample each)
+    val targetClean = 2 * perVisit - 1
     val small = scala.collection.mutable.ArrayBuffer[RunSample]()
     val big = scala.collection.mutable.ArrayBuffer[RunSample]()
     def cleanN(xs: Seq[RunSample]) = xs.count(_.steal <= StealClean)
