@@ -81,11 +81,23 @@ object IntervalBinRule extends Rule[LogicalPlan] with PredicateHelper {
     (Generate(Explode(seq), Nil, outer = false, None, Seq(binAttr), child), binAttr)
   }
 
+  /** Session override `spark.graft.intervalBin.force=1` bypasses the
+    * broadcastability guard — the only reliable way to exercise the
+    * engine path at fixture scale from a QUERY (q53): the guard reads
+    * plan stats lazily at each optimization, and wrappers like
+    * `.coalesce(1).write` or a checksum agg re-optimize the plan later,
+    * when any temporary autoBroadcastJoinThreshold juggling has been
+    * restored. At 100 TB the stats guard engages by itself.
+    */
+  private def forced: Boolean =
+    conf.getConfString("spark.graft.intervalBin.force", "0") == "1"
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner, Some(cond), hint)
         if j.resolved &&
-          l.stats.sizeInBytes > conf.autoBroadcastJoinThreshold &&
-          r.stats.sizeInBytes > conf.autoBroadcastJoinThreshold &&
+          (forced ||
+            (l.stats.sizeInBytes > conf.autoBroadcastJoinThreshold &&
+              r.stats.sizeInBytes > conf.autoBroadcastJoinThreshold)) &&
           !l.output.exists(_.name == "__graft_bin") => // already rewritten
       val conjuncts = splitConjunctivePredicates(cond)
       val eqs = conjuncts.filter {

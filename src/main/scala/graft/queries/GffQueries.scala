@@ -595,23 +595,23 @@ object GffQueries {
     Views.probesBulk(s, d).createOrReplaceTempView("graft_q53_probes")
     Views.feats(s, d).select(col("entity"), col("start"), col("end"), col("fid"))
       .createOrReplaceTempView("graft_q53_feats")
-    val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val df = s.sql(
-        """SELECT p.probe_id AS probe_id, count(*) AS n_matches,
-          |  sum(f.fid) AS sum_fid
-          |FROM graft_q53_probes p JOIN graft_q53_feats f
-          |  ON p.entity = f.entity AND p.start < f.end AND p.end > f.start
-          |GROUP BY p.probe_id""".stripMargin)
-      // materialize the plan under the forced threshold (queryExecution
-      // is lazy; touching executedPlan pins it before the conf restore)
-      val planStr = df.queryExecution.executedPlan.toString
-      if (!planStr.contains("__graft_bin"))
-        System.err.println("[q53] WARNING: IntervalBinRule did not engage " +
-          "(session extensions not loaded?) — result still correct, path is not the engine's")
-      df
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    // Persistent session flag, NOT a temporarily-lowered broadcast
+    // threshold: Verify/Bench wrap this df (`coalesce(1).write`,
+    // checksum agg), which re-optimizes the plan at action time — a
+    // restored threshold would silently drop the rewrite from the plan
+    // that actually EXECUTES. The flag only affects this theta pattern,
+    // which no other query types in SQL.
+    s.conf.set("spark.graft.intervalBin.force", "1")
+    val df = s.sql(
+      """SELECT p.probe_id AS probe_id, count(*) AS n_matches,
+        |  sum(f.fid) AS sum_fid
+        |FROM graft_q53_probes p JOIN graft_q53_feats f
+        |  ON p.entity = f.entity AND p.start < f.end AND p.end > f.start
+        |GROUP BY p.probe_id""".stripMargin)
+    if (!df.queryExecution.executedPlan.toString.contains("__graft_bin"))
+      System.err.println("[q53] WARNING: IntervalBinRule did not engage " +
+        "(session extensions not loaded?) — result still correct, path is not the engine's")
+    df
   }
 
   val q53Sql: String = q36Sql
