@@ -23,12 +23,26 @@ object StreamQueries {
   /** Run a finite streaming query to completion and return the sink table.
     * The memory sink registers `name` as a temp view; AvailableNow stops
     * the query once all currently-available input is processed.
+    *
+    * The checkpoint (offset/commit logs + one state-store delta file per
+    * shuffle partition) goes to a memory-backed scratch dir when the host
+    * has one: with no explicit location Spark checkpoints under
+    * java.io.tmpdir on real disk, and those ~2x`shuffle.partitions` small
+    * fsync'd files dominated q39/q40 wall clock (2-4 s of pure state
+    * commit at 100k rows). Production deployments point this at durable
+    * storage; the transform under test is unchanged.
     */
   private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_stream_ckpt"
+               else System.getProperty("java.io.tmpdir") + "/graft_stream_ckpt"
+    val ckpt = s"$base/$name-${java.util.UUID.randomUUID().toString.take(8)}"
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // finite replay done: the checkpoint is scratch, not a resume point
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     spark.table(name)
   }
 
@@ -69,13 +83,15 @@ object StreamQueries {
   val q40: Q = (s, d) => {
     val e = eventsStream(s, d).select(col("event_id"), col("user_id"),
       unix_micros(col("ts").cast("timestamp")).as("t"))
-    val probes = e.select(col("user_id").cast("string").as("entity"), col("t"),
-      col("event_id").as("probe_id"))
-    val feats = e.where(col("event_id") % 3 === 0)
-      .select(col("user_id").cast("string").as("entity"), col("t"),
-        (col("t") % 997).cast("double").as("value"))
+    // probes and features derive from the SAME stream, so build the tagged
+    // event feed with ONE source scan (taggedExplode) instead of a
+    // two-branch union that scans the file source twice — fewer scan
+    // tasks, one codegen stage, and measurably steadier wall clock (the
+    // union plan showed bimodal 5 s/18 s addBatch under GC pressure)
     val out = StreamingFeatures.streamingAsOf(
-      StreamingFeatures.taggedUnion(probes, feats))
+      StreamingFeatures.taggedExplode(e, col("user_id"), col("t"),
+        col("event_id"), (col("t") % 997).cast("double"),
+        col("event_id") % 3 === 0))
     runToTable(out.toDF(), "q40_mem", "append")
       .select("entity", "t", "probe_id", "f_t", "value")
   }

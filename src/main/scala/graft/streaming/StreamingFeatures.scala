@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -163,5 +163,27 @@ object StreamingFeatures {
     val f = feats.select(col("entity").cast("string"), col("t").cast("long"),
       lit(0).as("tag"), lit(null).cast("long").as("probe_id"), col("value").cast("double"))
     f.unionByName(p).as[AsOfEvent]
+  }
+
+  /** One-scan variant of [[taggedUnion]] for the common case where probes
+    * and features derive from the SAME stream (change-data feeds where an
+    * event both queries and updates state). Each source row explodes into
+    * its probe event plus, when `isFeat` holds, a feature event — one
+    * source scan and one codegen stage where union-of-two-branches scans
+    * the source twice. Semantics are identical: [[streamingAsOf]] re-sorts
+    * the batch by (t, tag) regardless of arrival order.
+    */
+  def taggedExplode(events: DataFrame, entity: Column, t: Column,
+      probeId: Column, featValue: Column, isFeat: Column): Dataset[AsOfEvent] = {
+    import events.sparkSession.implicits._
+    val probe = struct(lit(1).as("tag"), probeId.cast("long").as("probe_id"),
+      lit(null).cast("double").as("value"))
+    val feat = struct(lit(0).as("tag"), lit(null).cast("long").as("probe_id"),
+      featValue.cast("double").as("value"))
+    events.select(entity.cast("string").as("entity"), t.cast("long").as("t"),
+        explode(when(isFeat, array(feat, probe)).otherwise(array(probe))).as("ev"))
+      .select(col("entity"), col("t"), col("ev.tag").as("tag"),
+        col("ev.probe_id").as("probe_id"), col("ev.value").as("value"))
+      .as[AsOfEvent]
   }
 }

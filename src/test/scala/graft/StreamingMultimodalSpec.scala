@@ -82,6 +82,25 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got == exp, s"streaming as-of must equal batch as-of: $got vs $exp")
   }
 
+  test("taggedExplode (one-scan feed) == taggedUnion on a shared-source stream") {
+    // the q40 shape: every event probes; every third also publishes a feature
+    val e = Seq((1L, "u1", 10L), (2L, "u1", 20L), (3L, "u2", 5L),
+      (4L, "u2", 7L), (5L, "u3", 1L), (6L, "u3", 2L), (7L, "u1", 30L))
+      .toDF("event_id", "entity", "t")
+    val probes = e.select(col("entity"), col("t"), col("event_id").as("probe_id"))
+    val feats = e.where(col("event_id") % 3 === 0)
+      .select(col("entity"), col("t"), (col("t") % 997).cast("double").as("value"))
+    val viaUnion = StreamingFeatures.taggedUnion(probes, feats)
+      .collect().map(ev => (ev.entity, ev.t, ev.tag, Option(ev.probe_id), Option(ev.value)))
+      .toSet
+    val viaExplode = StreamingFeatures.taggedExplode(e, col("entity"), col("t"),
+        col("event_id"), (col("t") % 997).cast("double"), col("event_id") % 3 === 0)
+      .collect().map(ev => (ev.entity, ev.t, ev.tag, Option(ev.probe_id), Option(ev.value)))
+      .toSet
+    assert(viaExplode == viaUnion,
+      s"one-scan tagged feed must equal the two-branch union: $viaExplode vs $viaUnion")
+  }
+
   test("multimodal: binary schema, batched feature extraction, frame sampling") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bin = Multimodal.asBinaryTable(docs)
