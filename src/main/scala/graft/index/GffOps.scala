@@ -94,7 +94,16 @@ object GffOps {
   def intersect(t: IndexTables, regions: DataFrame, mode: OverlapMode,
       invert: Boolean = false, matchOnly: Boolean = false,
       types: Seq[String] = Nil): DataFrame = {
-    val probes = regions.select(col("entity_id").as("entity"), col("start"), col("end"))
+    val probes0 = regions.select(col("entity_id").as("entity"), col("start"), col("end"))
+    // the match-only path references the probe side from BOTH interval
+    // joins, and each join's auto-path decision additionally counts it —
+    // up to four evaluations of whatever plan produced the regions
+    // (measured ~3 s/eval of q35's 6.5 s warm wall clock). Persist once;
+    // the ContextCleaner unpersists when the returned plan is dropped.
+    val probes =
+      if (!invert && (matchOnly || types.nonEmpty))
+        probes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else probes0
     val ivs = t.intervals.select(col("entity_id").as("entity"), col("start"),
       col("end"), col("root_fid"))
     if (invert) {
@@ -106,7 +115,11 @@ object GffOps {
     } else {
       val hits = IntervalJoin.join(probes, ivs, mode)
       val roots = hits.select(col("root_fid")).distinct()
-      val rows = t.features.join(roots, "root_fid")
+      // type filter applied BEFORE the re-check join and its fid-dedup
+      // shuffle (ftype is functionally dependent on fid, so filtering
+      // commutes with the dedup; it cut q35's re-check pair volume ~30x)
+      val rows0 = t.features.join(roots, "root_fid")
+      val rows = if (types.nonEmpty) rows0.where(col("ftype").isin(types: _*)) else rows0
       val out0 = if (matchOnly || types.nonEmpty) {
         // re-check each line with the SELECTED mode (intersect.rs:500-517,
         // re-check confined to matched blocks) — routed through the
@@ -127,8 +140,7 @@ object GffOps {
             case c           => col(c)
           }: _*).dropDuplicates("fid")
       } else rows
-      val out = if (types.nonEmpty) out0.where(col("ftype").isin(types: _*)) else out0
-      out.orderBy(col("line_no"))
+      out0.orderBy(col("line_no"))
     }
   }
 }

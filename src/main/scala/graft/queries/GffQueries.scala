@@ -94,7 +94,7 @@ object GffQueries {
       }
     }
 
-  private def index(s: SparkSession, d: String): IndexBuild.IndexTables =
+  private[graft] def index(s: SparkSession, d: String): IndexBuild.IndexTables =
     indexCache.synchronized {
       val key = (s, d)
       val hit = indexCache.get(key)
