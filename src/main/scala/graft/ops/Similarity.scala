@@ -218,4 +218,72 @@ object Similarity {
       .where(col("rank") <= k)
       .select("qid", "nid", "rank", "cos")
   }
+
+  /** IVF cell assignment: every corpus vector -> the cell of its nearest
+    * centroid by cosine (ties -> lowest centroid id). Centroids are the
+    * corpus vectors picked by a DETERMINISTIC id rule (every
+    * `centroidGap`-th id, first `nCells` of them) so the whole index has
+    * an exact SQL twin; a production deployment swaps the rule for k-means
+    * medoids without touching the search path. The centroid set has FIXED
+    * size, so the assignment is a broadcast nested loop + per-row argmax:
+    * a narrow map over the corpus, no shuffle — the IVF build cost at
+    * 100 TB is one pass.
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, embCol: String,
+      nCells: Int, centroidGap: Long): DataFrame = {
+    val base = withNorm(corpus, embCol)
+    val cents = base
+      .where(col(idCol) % centroidGap === 0 && col(idCol) < lit(nCells * centroidGap))
+      .select(col(idCol).as("cid"), col(embCol).as("ce"), col("__n2").as("cn2"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("cid"))
+    base.join(broadcast(cents))
+      .withColumn("__ccos", dot_f(col(embCol), col("ce")) / sqrt(col("__n2") * col("cn2")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol).as("nid"), col("cid").as("cell"))
+  }
+
+  /** IVF (inverted-file) ANN — the second scale path, complementary to
+    * [[cosineKnnLshBanded]]: partition the corpus into `nCells` centroid
+    * cells ([[ivfAssign]]), probe each query's `nProbe` nearest cells, and
+    * exactly re-rank only the vectors in probed cells. With
+    * `nProbe == nCells` the result EQUALS the brute-force baseline (every
+    * cell probed — the unit-test anchor); smaller nProbe trades recall for
+    * a 1/nCells-ish candidate fraction.
+    *
+    * Scale shape: the centroid table is broadcast (fixed size); `cell` is
+    * the one shuffle key (probe lists x inverted lists); candidate pairs
+    * travel as narrow (qid, nid) and vectors are fetched by id after
+    * dedup, exactly like the LSH path. Cell-population skew is governed by
+    * the centroid-count schedule (nCells ~ sqrt N keeps expected cell size
+    * ~sqrt N); unlike the banded-LSH cap, dropping a hot cell would DELETE
+    * its vectors from the index (each vector lives in exactly one cell),
+    * so hot cells are handled by raising nCells, not by a cap.
+    */
+  def cosineKnnIvf(corpus: DataFrame, idCol: String, embCol: String,
+      queryPred: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      centroidGap: Long = 7L): DataFrame = {
+    val base = withNorm(corpus, embCol)
+    val cents = base
+      .where(col(idCol) % centroidGap === 0 && col(idCol) < lit(nCells * centroidGap))
+      .select(col(idCol).as("cid"), col(embCol).as("ce"), col("__n2").as("cn2"))
+    val inv = ivfAssign(corpus, idCol, embCol, nCells, centroidGap)
+    val q = base.where(expr(queryPred))
+      .select(col(idCol).as("qid"), col(embCol).as("qe"), col("__n2").as("qn2"))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("__ccos").desc, col("cid"))
+    val probes = q.join(broadcast(cents))
+      .withColumn("__ccos", dot_f(col("qe"), col("ce")) / sqrt(col("qn2") * col("cn2")))
+      .withColumn("__rn", row_number().over(wp))
+      .where(col("__rn") <= nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    val pairs = probes.join(inv, "cell")
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val ne = base.select(col(idCol).as("nid"), col(embCol).as("ne"), col("__n2").as("nn2"))
+    val scored = pairs.join(q, "qid").join(ne, "nid").withColumn("cos", cosCol)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+  }
 }

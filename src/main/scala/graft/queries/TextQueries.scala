@@ -310,6 +310,43 @@ object TextQueries {
        |   (acc, i) -> acc + whs[i] * ((i * 2654435761) % 1000003)) AS BIGINT) AS fingerprint
        |FROM h""".stripMargin
 
+  // q54 — IVF ANN top-5 over the same query subset as q24: deterministic
+  // centroid rule (every 7th id, first 16), nearest-centroid cell
+  // assignment, probe the 4 nearest cells, exact re-rank of probed-cell
+  // candidates. With nProbe == nCells this equals q24 exactly (unit
+  // anchor); at 4/16 it is the IVF scale path's oracle row.
+  private val IvfCells = 16
+  private val IvfProbe = 4
+  private val IvfGap = 7L
+
+  val q54: Q = (s, d) =>
+    Similarity.cosineKnnIvf(Views.table(s, d, "embeddings"), "vec_id", "embedding",
+      "vec_id % 40 = 0", 5, IvfCells, IvfProbe, IvfGap)
+
+  val q54Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |  list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2 FROM embeddings),
+       |c AS (SELECT vec_id AS cid, emb AS ce, n2 AS cn2 FROM e
+       |  WHERE vec_id % $IvfGap = 0 AND vec_id < ${IvfCells * IvfGap}),
+       |a AS (SELECT nid, cell FROM (
+       |  SELECT e.vec_id AS nid, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_inner_product(e.emb, c.ce) / sqrt(e.n2 * c.cn2) DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, emb AS qe, n2 AS qn2 FROM e WHERE vec_id % 40 = 0),
+       |p AS (SELECT qid, cell FROM (
+       |  SELECT q.qid, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_inner_product(q.qe, c.ce) / sqrt(q.qn2 * c.cn2) DESC, c.cid) AS rn
+       |  FROM q CROSS JOIN c) WHERE rn <= $IvfProbe),
+       |cand AS (SELECT DISTINCT p.qid, a.nid FROM p JOIN a USING (cell) WHERE a.nid <> p.qid),
+       |s AS (SELECT cand.qid, cand.nid,
+       |  list_inner_product(q.qe, e.emb) / sqrt(q.qn2 * e.n2) AS cos
+       |  FROM cand JOIN q ON q.qid = cand.qid JOIN e ON e.vec_id = cand.nid),
+       |r AS (SELECT qid, nid, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
+       |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos FROM r WHERE rank <= 5""".stripMargin
+
   // q30 — multimodal metadata: binary payload + typed metadata + frame
   // sampling plumbing (decode itself is stubbed; see ops/Multimodal).
   val q30: Q = (s, d) => {
@@ -326,6 +363,7 @@ object TextQueries {
       |FROM documents""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q54_knn_ivf" -> q54,
     "q52_bucket_audit" -> q52,
     "q50_embed_neardup" -> q50,
     "q30_multimodal_meta" -> q30,
@@ -343,6 +381,7 @@ object TextQueries {
     "q29_fingerprint" -> q29)
 
   val oracles: Map[String, String] = Map(
+    "q54_knn_ivf" -> q54Sql,
     "q52_bucket_audit" -> q52Sql,
     "q50_embed_neardup" -> q50Sql,
     "q30_multimodal_meta" -> q30Sql,

@@ -66,6 +66,54 @@ class Round4Spec extends SparkSpec {
     assert(Similarity.bandBitsForCorpus(1L << 40, 256) <= 30)
   }
 
+  // deterministic pseudo-embedding corpus for the IVF tests: 120 vectors,
+  // clustered by id DIV 5 so with centroidGap = 5 every centroid sits in a
+  // DISTINCT cluster (identical centroid vectors would tie and self-assign
+  // to the lowest cid — correct, but it would muddy the assertions)
+  private lazy val ivfCorpus = spark.range(120)
+    .select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), j -> CAST(CAST(pmod(xxhash64(id DIV 5, j), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))")
+        .as("embedding"))
+
+  test("IVF with nProbe == nCells equals the brute-force baseline exactly") {
+    val brute = Similarity.cosineKnnBrute(ivfCorpus, "vec_id", "embedding",
+      "vec_id % 11 = 0", 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().toSet
+    val ivfAll = Similarity.cosineKnnIvf(ivfCorpus, "vec_id", "embedding",
+      "vec_id % 11 = 0", 3, nCells = 8, nProbe = 8, centroidGap = 5L)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(ivfAll == brute,
+      s"probing every cell must recover the exact result: ${ivfAll.diff(brute)} / ${brute.diff(ivfAll)}")
+  }
+
+  test("IVF assignment: every vector lands in exactly one existing cell") {
+    val assign = Similarity.ivfAssign(ivfCorpus, "vec_id", "embedding", 8, 5L)
+      .as[(Long, Long)].collect()
+    assert(assign.length == 120, "one row per corpus vector")
+    assert(assign.map(_._1).distinct.length == 120)
+    val cells = assign.map(_._2).toSet
+    val validCids = (0 until 8).map(_ * 5L).toSet
+    assert(cells.subsetOf(validCids), s"cells must be centroid ids: $cells")
+    // a centroid is its own nearest centroid (cos = 1 with itself)
+    validCids.foreach { cid =>
+      assert(assign.toMap.apply(cid) == cid, s"centroid $cid must self-assign")
+    }
+  }
+
+  test("IVF at nProbe < nCells: neighbors drawn from at most nProbe cells per query") {
+    val part = Similarity.cosineKnnIvf(ivfCorpus, "vec_id", "embedding",
+      "vec_id % 11 = 0", 3, nCells = 8, nProbe = 2, centroidGap = 5L)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    assert(part.nonEmpty)
+    val assign = Similarity.ivfAssign(ivfCorpus, "vec_id", "embedding", 8, 5L)
+      .as[(Long, Long)].collect().toMap
+    part.groupBy(_._1).foreach { case (qid, ns) =>
+      val cells = ns.map { case (_, nid) => assign(nid) }.toSet
+      assert(cells.size <= 2,
+        s"query $qid drew neighbors from ${cells.size} > nProbe cells: $cells")
+    }
+  }
+
   test("scaling Result compact JSON carries the rule fields inside the tail budget") {
     val r = ScalingBench.Result("window_features_asof", 1000, 1000, 10.0, 3.0,
       smallRaw = Seq(10.0, 10.2), bigRaw = Seq(3.0, 3.1),
