@@ -126,5 +126,13 @@ class Round4Spec extends SparkSpec {
     // dirty ceiling: flag ships, derived ratio does not
     val dirty = r.copy(ceilingDirty = true).compactJson
     assert(dirty.contains("\"ceiling_dirty\":true") && !dirty.contains("eff_vs_ceiling"))
+    // instrument-gated retries: every non-shipped attempt is auditable in
+    // the full JSON; the compact line carries only the count
+    val retried = r.copy(priorAttempts = Seq((0.71, 0.85)))
+    assert(retried.json.contains("\"attempts\":2") &&
+      retried.json.contains("\"other_attempts\":[{\"efficiency\":0.710,\"ceiling\":0.850}]"))
+    assert(retried.compactJson.contains("\"attempts\":2") &&
+      !retried.compactJson.contains("other_attempts"))
+    assert(r.compactJson == c, "no attempts fields when the first attempt shipped")
   }
 }
