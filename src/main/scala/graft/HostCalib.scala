@@ -53,6 +53,36 @@ object HostCalib {
     n * unitOps / ((System.nanoTime() - t0) / 1e9)
   }
 
+  private val gaugeWarmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def warmGauges(): Unit =
+    if (gaugeWarmed.compareAndSet(false, true)) {
+      copyWork(2, 4 << 20); computeWork(40000000L); ()
+    }
+
+  /** ~1-2 s absolute host-state gauges for the scaling probe's weather
+    * filter (see ScalingBench.measure). Steal and the pair-ceiling are
+    * both blind to two host modes this box exhibits: neighbor
+    * memory-bandwidth pressure (slows wide arms; copies still PAIR-scale
+    * fine, so the ceiling stays clean) and lost single-core turbo boost
+    * under neighbor load (slows the 1-core arm ~25-40% while the 4-core
+    * arm barely moves). `copyGauge` reads the shared-bus bandwidth
+    * (2 threads, LLC-busting buffers); `boostGauge` reads the
+    * single-thread clock (pure-register work, frequency-proportional).
+    * Ops/sec — only RATIOS against the same process's best reading are
+    * ever used downstream, so absolute units never matter.
+    */
+  def copyGauge(): Double = {
+    warmGauges()
+    val words = 16 << 20 // 128 MiB per buffer
+    throughput(2, 2.0 * 8 * words * 8)(copyWork(8, words))
+  }
+
+  def boostGauge(): Double = {
+    warmGauges()
+    val iters = 400000000L
+    throughput(1, iters.toDouble)(computeWork(iters))
+  }
+
   /** Reusable N→4N ceiling measurement for ONE job class ("compute" |
     * "copy") at the given thread pair — the per-run calibration the
     * scaling probe ships inside its JSON (VERDICT r2 #1: emit the ceiling

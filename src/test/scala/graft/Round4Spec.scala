@@ -135,4 +135,41 @@ class Round4Spec extends SparkSpec {
       !retried.compactJson.contains("other_attempts"))
     assert(r.compactJson == c, "no attempts fields when the first attempt shipped")
   }
+
+  test("weather filter: degraded-host samples are excluded from the paired estimator") {
+    // small arm: 4 samples, the first two measured while the host was
+    // degraded (gauges at 0.6 of the process best) and inflated 40%; the
+    // paired estimator must pair only the weather-clean tail
+    val r = ScalingBench.Result("window_features_asof", 1000, 1000,
+      smallSec = 40.0, bigSec = 10.0,
+      smallRaw = Seq(56.0, 57.4, 40.0, 40.4), bigRaw = Seq(10.0, 10.1, 10.0, 10.1),
+      smallSteal = Seq(0.0, 0.0, 0.0, 0.0), bigSteal = Seq(0.0, 0.0, 0.0, 0.0),
+      smallWeather = Seq(0.6, 0.6, 1.0, 0.98), bigWeather = Seq(1.0, 1.0, 0.97, 1.0),
+      weatherDroppedSmall = 2, weatherDroppedBig = 0)
+    // clean pairs: (40.0/10.0), (40.4/10.1) -> ratio 4.0 -> efficiency 1.0 at 1v4...
+    // nSmall/nBig come from env (2,8 default): ratio/4 regardless of pair
+    assert(math.abs(r.efficiencyPaired - 1.0) < 0.01,
+      s"paired estimator must use only weather-clean pairs, got ${r.efficiencyPaired}")
+    assert(math.abs(r.weatherDirtyFrac - 0.25) < 1e-9)
+    // audit fields ship: arrays + threshold in the full JSON, wx_dropped
+    // in the compact line
+    assert(r.json.contains("\"weather_small\":[0.600,0.600,1.000,0.980]"))
+    assert(r.json.contains("\"weather_clean_threshold\":0.850"))
+    assert(r.compactJson.contains("\"wx_dropped\":[2,0]"))
+    // a fully-clean probe ships no wx_dropped field (tail budget)
+    val cleanR = r.copy(smallWeather = Seq(1.0, 1.0, 1.0, 1.0),
+      weatherDroppedSmall = 0)
+    assert(!cleanR.compactJson.contains("wx_dropped"))
+    // weather fallback: when EVERY pair is weather-dirty the estimator
+    // degrades to the steal-clean set instead of returning garbage
+    val allDirty = r.copy(smallWeather = Seq(0.6, 0.6, 0.6, 0.6),
+      bigWeather = Seq(0.6, 0.6, 0.6, 0.6))
+    val expected = {
+      val ratios = Seq(56.0 / 10.0, 57.4 / 10.1, 40.0 / 10.0, 40.4 / 10.1).sorted
+      (ratios(1) + ratios(2)) / 2 / 4.0
+    }
+    assert(math.abs(allDirty.efficiencyPaired - expected) < 0.01)
+    assert(allDirty.weatherDirtyFrac == 1.0,
+      "fallback must still read fully dirty in weatherDirtyFrac")
+  }
 }
