@@ -58,24 +58,26 @@ object Bench {
   }
 
   /** Run graft.ScalingBench in a fresh JVM (same flags/classpath as this
-    * one) for ONE job; returns (full, compact) `SCALING`/`SCALINGC` JSON
-    * payloads. Falls back to in-process local-deploy measurement if the
-    * spawn fails or times out.
+    * one) for ONE job under a hard wall-clock slice; returns (full,
+    * compact) `SCALING`/`SCALINGC` JSON payloads.
+    *
+    * FAIL-SAFE BY CONSTRUCTION (round-4 fix — BENCH_r04 was rc=124 with
+    * zero evidence shipped): the subprocess gets an absolute deadline
+    * (SPARK_GRAFT_PROBE_DEADLINE_EPOCH_MS) at which it self-truncates and
+    * ships partial samples flagged `truncated`; the parent waits only
+    * slice+grace and on overrun/failure ships a structured `{"error":...}`
+    * entry instead of the round-1-3 in-process re-measurement fallback,
+    * which DOUBLED the overrun exactly when the budget was already gone.
     */
   private def scalingIsolated(job: String, rows: Long, reps: Int,
-      deploy: String, nSmall: Int = 0, nBig: Int = 0,
+      deploy: String, sliceMs: Long, nSmall: Int = 0, nBig: Int = 0,
       ceilBar: Double = 0.9): (String, String) = {
-    val inProcess = () => {
-      // a failed cluster-shape spawn must not fall back into cluster mode
-      // in-process (the same failure would recur) — force local threads
-      sys.props("graft.scale.mode") = "local"
-      val (fn, n) =
-        if (job == "window") (ScalingBench.windowJob _, rows)
-        else (ScalingBench.tokenJob _, rows)
-      val r = ScalingBench.measure(fn,
-        if (job == "window") "window_features_asof" else "tokenize_fingerprint_quality",
-        n, reps)
-      (r.json, r.compactJson)
+    val errJson = (why: String) => {
+      val jn = if (job == "window") "window_features_asof"
+        else if (job == "tokens") "tokenize_fingerprint_quality"
+        else s"${job}_probe"
+      val e = s"""{"job":"$jn","error":"$why","truncated":true}"""
+      (e, e)
     }
     try {
       val javaBin = new java.io.File(
@@ -102,6 +104,10 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_SCALE_JOB", job)
       pb.environment().put("SPARK_GRAFT_SCALE_REPS", reps.toString)
       pb.environment().put("SPARK_GRAFT_MODE", deploy)
+      // the probe's hard slice deadline: it self-truncates there and still
+      // emits; the parent's kill below is only the wedged-JVM backstop
+      pb.environment().put("SPARK_GRAFT_PROBE_DEADLINE_EPOCH_MS",
+        (System.currentTimeMillis() + sliceMs).toString)
       if (nSmall > 0) pb.environment().put("SPARK_GRAFT_SMALL", nSmall.toString)
       if (nBig > 0) pb.environment().put("SPARK_GRAFT_BIG", nBig.toString)
       // instrument gate bar (see ScalingBench.main): 0 disables pre-flight
@@ -125,12 +131,11 @@ object Bench {
         scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList))
       drain.setDaemon(true)
       drain.start()
-      // gated probes (ceilBar > 0) may pre-flight-wait and retry once:
-      // worst case ~2x(6-min wait + probe) — give them the headroom, or
-      // the timeout would punish exactly the bad-weather runs the gate
-      // exists to survive
-      val timeoutMin = if (ceilBar > 0) 75L else 45L
-      val done = proc.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
+      // grace past the slice: the subprocess self-truncates AT the slice
+      // deadline but still needs to finish its in-flight full-size run,
+      // stop the session, and emit (~one 1-core run + teardown)
+      val graceMs = 180000L
+      val done = proc.waitFor(sliceMs + graceMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       if (!done) { proc.destroyForcibly(); proc.waitFor() }
       drain.join(10000)
       val rc = proc.exitValue()
@@ -139,22 +144,15 @@ object Bench {
       val compact = out.find(_.startsWith("SCALINGC ")).map(_.stripPrefix("SCALINGC "))
       (full, compact) match {
         case (Some(f), Some(c)) if rc == 0 => (f, c)
-        case _ if job == "skew" =>
-          System.err.println(s"[bench] skew probe failed (rc=$rc, done=$done); skipping")
-          val e = """{"job":"skew_hot_entity","error":"probe failed"}"""
-          (e, e)
         case _ =>
-          System.err.println(s"[bench] isolated scaling probe '$job' failed (rc=$rc, " +
-            s"done=$done); falling back to in-process local measurement")
-          inProcess()
+          System.err.println(s"[bench] scaling probe '$job' failed (rc=$rc, done=$done); " +
+            "shipping an error entry")
+          errJson(if (done) s"probe failed rc=$rc" else "timeout")
       }
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] subprocess spawn failed: $e; in-process fallback")
-        if (job == "skew") {
-          val j = """{"job":"skew_hot_entity","error":"spawn failed"}"""
-          (j, j)
-        } else inProcess()
+        System.err.println(s"[bench] subprocess spawn failed: $e")
+        errJson("spawn failed")
     }
   }
 
@@ -182,10 +180,26 @@ object Bench {
     val scaleSkew = sys.env.getOrElse("SPARK_GRAFT_SCALE_SKEW_ROWS", "4000000").toLong
     // cluster deploy warms EVERY rep twice (fresh executor JVMs per
     // session + single-threaded C2 under ActiveProcessorCount=1), so each
-    // rep costs 3 full runs per arm — 3 reps keeps part 1 near ~25 min
-    // while still measuring only warmed steady-state runs
+    // rep costs 3-5 full runs per arm — 2 reps (6 samples/arm) keeps each
+    // probe inside its budget slice while the medians stay stable
     val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt)
-      .getOrElse(if (deploy == "cluster") 3 else 5)
+      .getOrElse(if (deploy == "cluster") 2 else 5)
+    // HARD GLOBAL BUDGET for part 1 (round-4 fix: the gated probes could
+    // legally consume ~4 h; the driver's whole bench budget is <1 h and
+    // BENCH_r04 shipped nothing). Each probe gets a weighted slice of
+    // whatever budget REMAINS — an early probe finishing fast donates its
+    // leftover to later ones, an overrun shrinks them — and self-truncates
+    // at its slice, shipping partial samples flagged `truncated`.
+    val probeBudgetMs =
+      (sys.env.getOrElse("SPARK_GRAFT_PROBE_BUDGET_MIN", "20").toDouble * 60000).toLong
+    val part1Deadline = System.currentTimeMillis() + probeBudgetMs
+    // window 1v4 pays ~5x more 1-core full-size runs than the rest
+    val weights = Seq(0.38, 0.24, 0.24, 0.14)
+    def slice(idx: Int): Long = {
+      val remW = weights.drop(idx).sum
+      val rem = part1Deadline - System.currentTimeMillis()
+      math.max(60000L, (rem * weights(idx) / remW).toLong)
+    }
     // Arm pairs. The north rule asks for N vs 4N EXECUTORS; the headline
     // pair is 1 vs 4 single-core executor JVMs, with 2 vs 8 shipped as the
     // `window_stress` pair. WHY 1v4 leads: the host's OWN memory-copy
@@ -205,12 +219,29 @@ object Bench {
     val (smallN, bigN) = (
       sys.env.getOrElse("SPARK_GRAFT_SMALL", "1").toInt,
       sys.env.getOrElse("SPARK_GRAFT_BIG", "4").toInt)
-    val (wFull, wCompact) = scalingIsolated("window", scaleN, reps, deploy, smallN, bigN)
+    val (wFull, wCompact) = scalingIsolated("window", scaleN, reps, deploy,
+      slice(0), smallN, bigN)
     val (tFull, tCompact) = scalingIsolated("tokens", scaleDocs, reps, deploy,
-      smallN * 2, bigN * 2)
+      slice(1), smallN * 2, bigN * 2)
     val (wsFull, wsCompact) = scalingIsolated("window", scaleN, reps, deploy,
-      smallN * 2, bigN * 2, ceilBar = 0.0)
-    val (skFull, skCompact) = scalingIsolated("skew", scaleSkew, reps, "local")
+      slice(2), smallN * 2, bigN * 2, ceilBar = 0.0)
+    val (skFull, skCompact) = scalingIsolated("skew", scaleSkew, reps, "local", slice(3))
+
+    // write the scaling half of the detail artifact NOW: if part 2 dies or
+    // the driver's budget expires mid-sweep, the probes' evidence survives
+    // on disk (round-4 lesson: nothing shipped because everything was
+    // deferred to the end)
+    def writeDetail(totalSec: Double, queriesJson: String): Unit = {
+      val detail = s"""{"metric":"total","value":${f"$totalSec%.3f"},"unit":"sec",""" +
+        s""""sf":"$sfDir","scaling":{"window":$wFull,"tokens":$tFull,""" +
+        s""""window_stress":$wsFull,"skew":$skFull},"queries":$queriesJson}"""
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+          detail.getBytes("UTF-8"))
+        System.err.println(s"[bench] detail -> BENCH_DETAIL.json (${detail.length} bytes)")
+      } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    }
+    writeDetail(0.0, "{}")
 
     // part 2: per-query timings (full-column checksum action)
     val s1 = session(cpus)
@@ -267,6 +298,11 @@ object Bench {
       // mercy of the driver's tail capture (BENCH_r02 lost q01-q12 to a
       // mid-JSON truncation) — stderr carries each timing as it lands
       System.err.println(f"[bench] $name t=$dt%.3f s")
+      // drop plan-level caches between queries, UNTIMED: Dataset.persist
+      // registers in the session CacheManager, which holds a strong
+      // reference until explicit unpersist (ADVICE r4) — without this the
+      // q35/q51-style persisted probe plans accumulate for the whole sweep
+      try s1.catalog.clearCache() catch { case _: Throwable => }
       name -> dt
     }
     s1.stop()
@@ -275,18 +311,11 @@ object Bench {
     val total = results.map(_._2).sum
     // Full-fidelity artifact (full query names, raw/steal arrays, the
     // complete scaling JSON) — everything the tail-window-sized stdout
-    // line cannot carry — written to BENCH_DETAIL.json in the working
-    // directory; BASELINE.md points here for the audit trail.
+    // line cannot carry — re-written now with the query timings;
+    // BASELINE.md points here for the audit trail.
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-      s""""sf":"$sfDir","scaling":{"window":$wFull,"tokens":$tFull,""" +
-      s""""window_stress":$wsFull,"skew":$skFull},"queries":$qsFull}"""
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-        detail.getBytes("UTF-8"))
-      System.err.println(s"[bench] full detail -> BENCH_DETAIL.json (${detail.length} bytes)")
-    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    writeDetail(total, qsFull)
 
     // The FINAL stdout line is what the driver's BENCH capture parses, and
     // it keeps only the last ~2 KB (rounds 2-3 shipped mid-JSON tails:

@@ -199,17 +199,43 @@ object ScalingBench {
     * flight polls included) raises the bests, so a probe's weather filter
     * is anchored on the cleanest minute the process has witnessed — a
     * result-independent instrument reference.
+    *
+    * The bests are SEEDED from (and saved back to) a host-local
+    * calibration file (ADVICE r4: a process whose entire lifetime runs
+    * under uniformly degraded weather would otherwise normalize against
+    * its own degraded best and read every sample as clean). Absolute
+    * best-gauge values also ship in every probe JSON so downstream
+    * analysis can detect an all-degraded run even without the file.
     */
   object Weather {
+    private val calibPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_GAUGE_CALIB", "/tmp/graft_gauge_calib.json"))
     @volatile var bestCopy = 0.0
     @volatile var bestBoost = 0.0
-    /** One reading of both gauges (~2-3 s); updates the bests. */
+    locally {
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(calibPath), "UTF-8")
+        val re = """"copy":([0-9.eE+\-]+),"boost":([0-9.eE+\-]+)""".r
+        re.findFirstMatchIn(s).foreach { m =>
+          bestCopy = m.group(1).toDouble
+          bestBoost = m.group(2).toDouble
+        }
+      } catch { case _: Throwable => }
+    }
+    private def save(): Unit =
+      try java.nio.file.Files.write(calibPath,
+        s"""{"copy":$bestCopy,"boost":$bestBoost}""".getBytes("UTF-8")): Unit
+      catch { case _: Throwable => }
+    /** One reading of both gauges (~2-3 s); updates (and persists) the bests. */
     def reading(): (Double, Double) = {
       val c = HostCalib.copyGauge()
       val b = HostCalib.boostGauge()
       synchronized {
-        if (c > bestCopy) bestCopy = c
-        if (b > bestBoost) bestBoost = b
+        if (c > bestCopy || b > bestBoost) {
+          if (c > bestCopy) bestCopy = c
+          if (b > bestBoost) bestBoost = b
+          save()
+        }
       }
       (c, b)
     }
@@ -232,7 +258,8 @@ object ScalingBench {
       ceilingDirty: Boolean = false,
       priorAttempts: Seq[(Double, Double)] = Nil,
       smallWeather: Seq[Double] = Nil, bigWeather: Seq[Double] = Nil,
-      weatherDroppedSmall: Int = 0, weatherDroppedBig: Int = 0) {
+      weatherDroppedSmall: Int = 0, weatherDroppedBig: Int = 0,
+      truncated: Boolean = false) {
     /** Fraction of all samples measured under degraded host weather
       * (bracketing gauges below WeatherClean x the process best) — the
       * instrument-quality number gated() keys retry/selection on. Counted
@@ -313,9 +340,17 @@ object ScalingBench {
          |"small_sec":${f3(smallSec)},"big_sec":${f3(bigSec)},
          |"small_rows_per_sec":${f3(rowsIn / smallSec)},"big_rows_per_sec":${f3(rowsIn / bigSec)},
          |"speedup":${f3(smallSec / bigSec)},"efficiency":${f3(efficiency)},
-         |"efficiency_paired":${f3(efficiencyPaired)}$ceil$attemptsJson}"""
+         |"efficiency_paired":${f3(efficiencyPaired)},
+         |"gauge_best_copy":${f3(Weather.bestCopy)},
+         |"gauge_best_boost":${f3(Weather.bestBoost)}$trunc$ceil$attemptsJson}"""
         .stripMargin.replace("\n", "")
     }
+
+    /** Flag for a probe the global bench budget cut short: the medians are
+      * over fewer samples than planned — still honest numbers, shipped in
+      * preference to nothing (the round-4 rc=124 lesson).
+      */
+    private def trunc: String = if (truncated) ""","truncated":true""" else ""
 
     /** Non-shipped attempts of an instrument-gated probe (see main()'s
       * `gated`): each retry's (efficiency, same-minute ceiling), so the
@@ -348,12 +383,26 @@ object ScalingBench {
         s""""n_big":${ScalingBench.nBig},"small_sec":${f3(smallSec)},""" +
         s""""big_sec":${f3(bigSec)},"efficiency":${f3(efficiency)},""" +
         s""""efficiency_paired":${f3(efficiencyPaired)},""" +
-        s""""dropped":[$droppedSmall,$droppedBig]$wx$ceil$att}"""
+        s""""dropped":[$droppedSmall,$droppedBig]$trunc$wx$ceil$att}"""
     }
   }
 
   def nSmall: Int = sys.env.getOrElse("SPARK_GRAFT_SMALL", "2").toInt
   def nBig: Int = sys.env.getOrElse("SPARK_GRAFT_BIG", "8").toInt
+
+  /** Absolute wall-clock deadline for THIS probe process (epoch ms), set
+    * by Bench's global probe budget (round 4: the gated probes legally
+    * consumed the driver's whole bench budget and shipped NOTHING — rc=124,
+    * parsed null). The probe self-truncates at the deadline: it stops
+    * scheduling visit pairs, skips retries, and ships whatever samples
+    * exist flagged `"truncated":true` — a flagged 4-sample number beats an
+    * absent one. Unset = no deadline (standalone runs).
+    */
+  def probeDeadlineMs: Long = sys.env.get("SPARK_GRAFT_PROBE_DEADLINE_EPOCH_MS")
+    .map(_.toLong).getOrElse(Long.MaxValue)
+  def msLeft: Long =
+    if (probeDeadlineMs == Long.MaxValue) Long.MaxValue
+    else probeDeadlineMs - System.currentTimeMillis()
 
   /** Weak-scaling mode: the 4N arm processes 4x the rows; efficiency =
     * small_sec / big_sec (ideal: the bigger cluster absorbs 4x the data in
@@ -381,13 +430,14 @@ object ScalingBench {
       s.sparkContext.setLogLevel("WARN")
       val rows = if (weak && cores == nBig) n * ratio else n
       try {
-        // TWO full-size warmups per session: every cluster session spawns
-        // fresh executor JVMs whose SINGLE C2 compiler thread (under
+        // TWO full-size warmups per measured session: every cluster session
+        // spawns fresh executor JVMs whose SINGLE C2 compiler thread (under
         // -XX:ActiveProcessorCount=1) needs both before steady state
-        // (one-warmup sessions measured 2x slow on identical input)
-        job(s, rows); job(s, rows)
-        // the discarded warm-up visit only needs ONE post-warmup run (its
-        // purpose is driver-JVM classloading/JIT, not samples)
+        // (one-warmup sessions measured 2x slow on identical input). The
+        // discarded visit-0 exists for DRIVER-side classloading/JIT only —
+        // one warmup + one thrown-away run is enough there, and the saved
+        // full-size runs matter under the global bench budget.
+        if (visit == 0) job(s, rows) else { job(s, rows); job(s, rows) }
         val k = if (visit == 0) 1 else perVisit
         (0 until k).map { i =>
           // each measured run starts from a collected heap: prior-run
@@ -410,7 +460,10 @@ object ScalingBench {
     // classloading/JIT; the round-2 rep-0 rule, widened). ADAPTIVE: extra
     // visits while an arm lacks enough steal-clean samples, bounded.
     val baseVisits = math.max(3, reps)
-    val maxVisits = baseVisits * 2
+    // +1, not 2x (round-4 fix): each extra visit pair costs ~2-6 min of
+    // full-size runs, and under the global bench budget a marginally
+    // steal-dirty sample is not worth two of them
+    val maxVisits = baseVisits + 1
     // one short of the full 2-visit sample count: a SINGLE marginally
     // steal-dirty sample must not force a whole extra ~2-4 min visit
     // (median over 5 clean samples is already stable; the round-4 dress
@@ -426,19 +479,40 @@ object ScalingBench {
     val bigBr = scala.collection.mutable.ArrayBuffer[Brk]()
     def cleanN(xs: Seq[RunSample]) = xs.count(_.steal <= StealClean)
     var v = 0
+    var truncated = false
+    var lastPairSec = 0.0
+    var lastPairRuns = 0
     var gauge = Weather.reading()
-    while (v < maxVisits && (v < baseVisits ||
+    while (!truncated && v < maxVisits && (v < baseVisits ||
         cleanN(small.toSeq) < targetClean || cleanN(big.toSeq) < targetClean)) {
-      val sv = runVisit(nSmall, v)
-      val gMid = Weather.reading()
-      val bv = runVisit(nBig, v)
-      val gEnd = Weather.reading()
-      if (v != 0) {
-        small ++= sv; smallBr += ((gauge, gMid, sv.length))
-        big ++= bv; bigBr += ((gMid, gEnd, bv.length))
+      // global-budget check BEFORE committing to a visit pair: estimate the
+      // next pair's cost from the last pair's per-run wall clock, and stop
+      // (flagging `truncated`) once at least one measured visit landed —
+      // partial samples SHIP; only a pathological first pair relies on the
+      // parent's kill-with-grace backstop
+      val nextRuns = if (v == 0) 4 else 2 * (2 + perVisit)
+      val estMs =
+        if (lastPairRuns == 0) 0L
+        else (lastPairSec * 1000.0 * nextRuns / lastPairRuns).toLong
+      if (small.nonEmpty && big.nonEmpty && estMs + 30000 > msLeft) {
+        truncated = true
+        System.err.println(s"[scaling] $name: probe deadline in ${msLeft / 1000} s < " +
+          s"estimated next visit pair ${estMs / 1000} s — truncating at $v visits")
+      } else {
+        val tp0 = System.nanoTime()
+        val sv = runVisit(nSmall, v)
+        val gMid = Weather.reading()
+        val bv = runVisit(nBig, v)
+        val gEnd = Weather.reading()
+        if (v != 0) {
+          small ++= sv; smallBr += ((gauge, gMid, sv.length))
+          big ++= bv; bigBr += ((gMid, gEnd, bv.length))
+        }
+        gauge = gEnd
+        lastPairSec = (System.nanoTime() - tp0) / 1e9
+        lastPairRuns = nextRuns
+        v += 1
       }
-      gauge = gEnd
-      v += 1
     }
     // normalize AFTER the loop: Weather.relative reads the process-best
     // gauges, which only settle once every block has been bracketed
@@ -489,8 +563,23 @@ object ScalingBench {
       droppedSmall = smallUse.length - smallSteady.length,
       droppedBig = bigUse.length - bigSteady.length,
       smallWeather = smallWx, bigWeather = bigWx,
-      weatherDroppedSmall = smallWxDrop, weatherDroppedBig = bigWxDrop)
+      weatherDroppedSmall = smallWxDrop, weatherDroppedBig = bigWxDrop,
+      truncated = truncated)
   }
+
+  /** Result-BLIND instrument-quality check (ADVICE r4 / VERDICT r4 #3) —
+    * the ONLY input to the gated-probe retry/stop decision. A probe is
+    * re-measured iff its instrument was degraded: steal-contaminated
+    * ceiling calibration, same-minute host ceiling below the bar, or more
+    * than a third of its samples bracketed by degraded weather gauges. The
+    * measured efficiency NEVER appears here — the old `efficiency >= 0.8`
+    * early-out shipped good numbers from degraded instruments unexamined
+    * while retrying bad ones, a one-sided filter on the published headline.
+    */
+  def instrumentClean(ceilingDirty: Boolean, hostCeiling: Double,
+      weatherDirtyFrac: Double, ceilBar: Double): Boolean =
+    ceilBar <= 0 ||
+      (!ceilingDirty && hostCeiling >= ceilBar && weatherDirtyFrac <= 0.33)
 
   /** Skew probe (north rule: "skew handled explicitly" — demonstrated by
     * MEASUREMENT, not construction): the same interval-join sweep over an
@@ -608,10 +697,15 @@ object ScalingBench {
     // judged against its own same-moment ceiling instead).
     val ceilBar = sys.env.getOrElse("SPARK_GRAFT_CEIL_BAR", "0.9").toDouble
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_SCALE_ATTEMPTS", "2").toInt
-    val preflightBudgetMs = sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT_MS", "360000").toLong
+    // 2 min (was 6 — round-4 fix): the pre-flight is a cheap courtesy wait
+    // for a passing burst, not a right to consume the bench budget; a
+    // still-degraded instrument after 2 min ships flagged instead of waited
+    val preflightBudgetMs = sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT_MS", "120000").toLong
     def preflight(job: String): Unit = {
       if (ceilBar <= 0) return
-      val deadline = System.nanoTime() + preflightBudgetMs * 1000000L
+      // never let the wait eat into the time the probe itself needs
+      val budget = math.min(preflightBudgetMs, math.max(0L, msLeft - 60000L))
+      val deadline = System.nanoTime() + budget * 1000000L
       // each poll also reads the absolute gauges: the bests they raise
       // anchor the probe's weather filter, and a poll measuring well
       // below an earlier poll's state is itself a reason to keep waiting
@@ -639,14 +733,21 @@ object ScalingBench {
       var stop = false
       while (attempts.length < maxAttempts && !stop) {
         preflight(ceilJob)
+        val t0 = System.currentTimeMillis()
         val r = withCeiling(measure(job, name, n, reps), ceilJob)
+        val attemptMs = System.currentTimeMillis() - t0
         attempts ::= r
-        // a sub-0.8 result under a CLEAN instrument (ceiling at bar, at
-        // most a third of samples weather-degraded) is the engine's
-        // honest number and ships; under a degraded instrument it is
-        // re-measured once
-        stop = r.efficiency >= 0.8 || ceilBar <= 0 ||
-          (!r.ceilingDirty && r.hostCeiling >= ceilBar && r.weatherDirtyFrac <= 0.33)
+        // retry keyed ONLY on instrument quality (result-blind — see
+        // instrumentClean); a budget-truncated attempt never retries
+        stop = instrumentClean(r.ceilingDirty, r.hostCeiling,
+          r.weatherDirtyFrac, ceilBar) || r.truncated
+        // ... and a retry must fit the remaining probe budget
+        if (!stop && msLeft < (attemptMs * 1.2).toLong + 60000L) {
+          System.err.println(s"[scaling] degraded instrument but only " +
+            s"${msLeft / 1000} s of probe budget left (attempt took " +
+            s"${attemptMs / 1000} s) — shipping without retry")
+          stop = true
+        }
         if (!stop && attempts.length < maxAttempts)
           System.err.println(f"[scaling] attempt ${attempts.length}: efficiency " +
             f"${r.efficiency}%.3f under a degraded instrument (ceiling " +

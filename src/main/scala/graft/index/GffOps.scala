@@ -98,8 +98,13 @@ object GffOps {
     // the match-only path references the probe side from BOTH interval
     // joins, and each join's auto-path decision additionally counts it —
     // up to four evaluations of whatever plan produced the regions
-    // (measured ~3 s/eval of q35's 6.5 s warm wall clock). Persist once;
-    // the ContextCleaner unpersists when the returned plan is dropped.
+    // (measured ~3 s/eval of q35's 6.5 s warm wall clock). Persist once.
+    // NOTE (ADVICE r4): Dataset.persist registers the plan in the session
+    // CacheManager, which holds a strong reference until an explicit
+    // unpersist/clearCache — the ContextCleaner only reclaims GC'd RDDs.
+    // The entry can't be unpersisted here (the returned plan is lazy), so
+    // long-lived sessions issuing many DISTINCT region plans should call
+    // spark.catalog.clearCache() between queries — Bench and Verify do.
     val probes =
       if (!invert && (matchOnly || types.nonEmpty))
         probes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

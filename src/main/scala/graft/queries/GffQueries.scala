@@ -616,7 +616,40 @@ object GffQueries {
 
   val q53Sql: String = q36Sql
 
+  // q55 — the SQL front-end's CONTAINMENT pattern (the round-4 gap: only
+  // the strict-overlap theta shape re-planned; Contained/ContainsRegion
+  // SQL still got SortMergeJoin-on-entity + filter, per-entity quadratic).
+  // Same tables as q53, but the user types Contained-mode SQL (probe
+  // within feature, >=/<= conjuncts). IntervalBinRule.rewriteContainment
+  // re-plans it onto the binned (entity, bin) equi-join + the
+  // degenerate-inner residue branch; asserted to fire.
+  val q55: Q = (s, d) => {
+    Views.probesBulk(s, d).createOrReplaceTempView("graft_q55_probes")
+    Views.feats(s, d).select(col("entity"), col("start"), col("end"), col("fid"))
+      .createOrReplaceTempView("graft_q55_feats")
+    s.conf.set("spark.graft.intervalBin.force", "1")
+    val df = s.sql(
+      """SELECT p.probe_id AS probe_id, count(*) AS n_matches,
+        |  sum(f.fid) AS sum_fid
+        |FROM graft_q55_probes p JOIN graft_q55_feats f
+        |  ON p.entity = f.entity AND p.start >= f.start AND p.end <= f.end
+        |GROUP BY p.probe_id""".stripMargin)
+    if (!df.queryExecution.executedPlan.toString.contains("__graft_bin"))
+      System.err.println("[q55] WARNING: containment rewrite did not engage " +
+        "(session extensions not loaded?) — result still correct, path is not the engine's")
+    df
+  }
+
+  val q55Sql: String =
+    s"""WITH ${Views.featsSql}, ${Views.probesBulkSql}
+       |SELECT p.probe_id AS probe_id, count(*) AS n_matches,
+       | CAST(sum(f.fid) AS BIGINT) AS sum_fid
+       |FROM probes p JOIN feats f
+       | ON p.entity = f.entity AND p.p_start >= f.f_start AND p.p_end <= f.f_end
+       |GROUP BY p.probe_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q55_sql_containment" -> q55,
     "q53_sql_frontend" -> q53,
     "q51_index_roundtrip" -> q51,
     "q49_raw_block_sink" -> q49,
@@ -634,6 +667,7 @@ object GffQueries {
     "q48_missing_names" -> q48)
 
   val oracles: Map[String, String] = Map(
+    "q55_sql_containment" -> q55Sql,
     "q53_sql_frontend" -> q53Sql,
     "q51_index_roundtrip" -> q51Sql,
     "q49_raw_block_sink" -> q49Sql,

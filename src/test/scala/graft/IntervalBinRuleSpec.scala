@@ -103,6 +103,151 @@ class IntervalBinRuleSpec extends SparkSpec {
     }
   }
 
+  test("containment pattern (Contained + ContainsRegion) rewrites with identical results") {
+    val (a, b) = fixture()
+    a.createOrReplaceTempView("probes_c")
+    b.createOrReplaceTempView("feats_c")
+    // Contained: probe within feature (>=/<= conjuncts, inner = left) —
+    // and ContainsRegion: feature within probe (inner = right)
+    val contained =
+      """SELECT p.probe_id, f.fid FROM probes_c p JOIN feats_c f
+        |  ON p.entity = f.entity AND p.start >= f.start AND p.end <= f.end""".stripMargin
+    val contains =
+      """SELECT p.probe_id, f.fid FROM probes_c p JOIN feats_c f
+        |  ON p.entity = f.entity AND f.start >= p.start AND f.end <= p.end""".stripMargin
+    val expContained = spark.sql(contained).as[(Long, Long)].collect().toSet
+    val expContains = spark.sql(contains).as[(Long, Long)].collect().toSet
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntervalBinRule
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for ((sqlText, exp) <- Seq((contained, expContained), (contains, expContains))) {
+        val df = spark.sql(sqlText)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("__graft_bin"), s"containment rewrite must engage:\n$plan")
+        val got = df.as[(Long, Long)].collect()
+        assert(got.length == got.toSet.size, "exactly-once emit must not duplicate pairs")
+        assert(got.toSet == exp,
+          s"containment rewrite diverged: missing=${(exp -- got.toSet).take(5)} " +
+            s"extra=${(got.toSet -- exp).take(5)}")
+        assert(exp.nonEmpty)
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == IntervalBinRule)
+    }
+  }
+
+  test("containment adversarial: degenerate/inverted/null intervals ride the residue branch") {
+    // empty (start == end) and inverted (end < start) INNER rows satisfy
+    // the raw >=/<= arithmetic with unbounded start — no bin scheme covers
+    // them, so they must flow through the __graft_nobin residue join and
+    // the union must still equal the plain theta join bit-for-bit
+    def mkRows(n: Int, seed: Int) = (0 until n).map { i =>
+      val r = new scala.util.Random(seed * 2000003 + i)
+      val s: java.lang.Long = r.nextInt(10) match {
+        case 0 => null
+        case 1 => (r.nextInt(6).toLong) * 8192L
+        case _ => r.nextInt(50000).toLong
+      }
+      val e: java.lang.Long =
+        if (s == null) java.lang.Long.valueOf(r.nextInt(50000).toLong)
+        else r.nextInt(10) match {
+          case 0 => s // empty: start == end
+          case 1 => java.lang.Long.valueOf(s - 1 - r.nextInt(30000)) // inverted
+          case 2 => null
+          case 3 => java.lang.Long.valueOf(s + 8192L * (1 + r.nextInt(30)))
+          case _ => java.lang.Long.valueOf(s + 1 + r.nextInt(4000))
+        }
+      val ent: String = if (r.nextInt(12) == 0) null else s"e${r.nextInt(4)}"
+      (ent, s, e, i.toLong)
+    }
+    mkRows(1200, 19).toDF("entity", "start", "end", "probe_id")
+      .createOrReplaceTempView("probes_cadv")
+    mkRows(900, 23).toDF("entity", "start", "end", "fid")
+      .createOrReplaceTempView("feats_cadv")
+    val sqlText =
+      """SELECT p.probe_id, f.fid FROM probes_cadv p JOIN feats_cadv f
+        |  ON p.entity = f.entity AND p.start >= f.start AND p.end <= f.end""".stripMargin
+    val expected = spark.sql(sqlText).as[(Long, Long)].collect().toSet
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntervalBinRule
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(sqlText)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_bin"), "binned branch must engage")
+      assert(plan.contains("__graft_nobin"), "residue branch must exist for degenerates")
+      val got = df.as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, "union of binned + residue must stay disjoint")
+      assert(got.toSet == expected,
+        s"containment diverged on degenerates: missing=${(expected -- got.toSet).take(5)} " +
+          s"extra=${(got.toSet -- expected).take(5)}")
+      assert(expected.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == IntervalBinRule)
+    }
+  }
+
+  test("containment guards: half patterns and same-side conjuncts do not rewrite") {
+    val (a, b) = fixture()
+    a.createOrReplaceTempView("probes_g")
+    b.createOrReplaceTempView("feats_g")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntervalBinRule
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val noFire = Seq(
+        // one non-strict conjunct only — no containment pair
+        """SELECT p.probe_id, f.fid FROM probes_g p JOIN feats_g f
+          |  ON p.entity = f.entity AND p.start >= f.start""".stripMargin,
+        // both ge-conjuncts have the big expr on the SAME side: this is
+        // p.start >= f.start AND p.end >= f.end, not a containment
+        """SELECT p.probe_id, f.fid FROM probes_g p JOIN feats_g f
+          |  ON p.entity = f.entity AND p.start >= f.start AND p.end >= f.end""".stripMargin,
+        // no entity equality
+        """SELECT p.probe_id, f.fid FROM probes_g p JOIN feats_g f
+          |  ON p.start >= f.start AND p.end <= f.end""".stripMargin)
+      for (s <- noFire)
+        assert(!spark.sql(s).queryExecution.optimizedPlan.toString.contains("__graft_bin"),
+          s"rule must NOT fire for:\n$s")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == IntervalBinRule)
+    }
+  }
+
+  test("the engine's own binned kernel joins are never re-rewritten (force flag on)") {
+    // q53/q55 set spark.graft.intervalBin.force for their session, so every
+    // LATER query's plan meets this rule with the guard forced open; once
+    // filter pushdown folds the kernel's mode predicate into its
+    // (entity, __bin) equi-join the condition matches the containment
+    // pattern, and re-binning it doubled the plan per kernel join until the
+    // optimizer crawled (observed: 20-min ColumnPruning stall on q35)
+    val (a, b) = fixture()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntervalBinRule
+    try {
+      spark.conf.set("spark.graft.intervalBin.force", "1")
+      for (mode <- Seq(graft.ops.Contained, graft.ops.Overlap)) {
+        val df = graft.ops.IntervalJoin.binnedJoin(
+          a.withColumnRenamed("probe_id", "pid"), b.withColumnRenamed("fid", "xid"),
+          mode, 1024L)
+        val plan = df.queryExecution.optimizedPlan.toString
+        assert(!plan.contains("__graft_bin"),
+          s"rule must not touch the kernel's own binned join ($mode):\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.graft.intervalBin.force", "0")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == IntervalBinRule)
+    }
+  }
+
   test("broadcastable side leaves the plan alone; extra conjuncts are preserved") {
     val (a, b) = fixture()
     a.createOrReplaceTempView("probes_r")
