@@ -109,6 +109,29 @@ object IntervalBinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def forced: Boolean =
     conf.getConfString("spark.graft.intervalBin.force", "0") == "1"
 
+  /** The rewritten join is FORCED to a shuffle-merge join — the same
+    * contract as ops.IntervalJoin.binnedJoin's hint("shuffle_merge"), for
+    * the same reason, re-measured on this rule's own output: the binned
+    * equi-join has FEW distinct keys (entities x coordinate-bins) with
+    * thousands of rows per key, and a broadcast-hash plan walks the hashed
+    * relation's duplicate chain per streamed row — random access per
+    * candidate pair (measured 539 s on the q53 join at sf0.1, where the
+    * sort-merge plan's sequential buffered-run iteration takes 16 s, 33x).
+    * At the design scale both sides blow the broadcast threshold anyway;
+    * the hint only closes the mid-scale window where the planner would
+    * still pick broadcast. A user-supplied strategy hint wins.
+    */
+  private def shuffleMerge(h: JoinHint): JoinHint = {
+    def f(o: Option[HintInfo]): Option[HintInfo] = o match {
+      case Some(hi) if hi.strategy.isDefined => o
+      case Some(hi) => Some(hi.copy(strategy = Some(SHUFFLE_MERGE)))
+      case None => Some(HintInfo(strategy = Some(SHUFFLE_MERGE)))
+    }
+    if (h.leftHint.exists(_.strategy.isDefined) ||
+        h.rightHint.exists(_.strategy.isDefined)) h
+    else JoinHint(f(h.leftHint), f(h.rightHint))
+  }
+
   /** Plans this rule must leave alone: its own rewrites (`__graft_bin`),
     * its residue branches (`__graft_nobin`), and the engine's OWN binned
     * kernels (`__bin` — ops.IntervalJoin): once filter pushdown folds the
@@ -162,7 +185,7 @@ object IntervalBinRule extends Rule[LogicalPlan] with PredicateHelper {
           logInfo(s"graft: rewrote interval theta join to (entity, bin) equi-join " +
             s"(bin=$BinSize, ${eqs.length} entity key(s))")
           Project(j.output, Join(lGen, rGen, Inner,
-            Some(newCond.reduce(And)), hint))
+            Some(newCond.reduce(And)), shuffleMerge(hint)))
         case _ if eqs.nonEmpty =>
           containment(conjuncts, l, r) match {
             case Some((iLo, iHi, oLo, oHi, innerIsLeft)) =>
@@ -235,8 +258,8 @@ object IntervalBinRule extends Rule[LogicalPlan] with PredicateHelper {
     val newCond = (eqs :+ EqualTo(iBin, oBin)) ++
       conjuncts.filterNot(eqs.contains) :+ emitOnce
     val binned =
-      if (innerIsLeft) Join(iGen, oGen, Inner, Some(newCond.reduce(And)), hint)
-      else Join(oGen, iGen, Inner, Some(newCond.reduce(And)), hint)
+      if (innerIsLeft) Join(iGen, oGen, Inner, Some(newCond.reduce(And)), shuffleMerge(hint))
+      else Join(oGen, iGen, Inner, Some(newCond.reduce(And)), shuffleMerge(hint))
     val marked = Project(
       inner.output :+ Alias(Literal(true), "__graft_nobin")(),
       Filter(Not(wellFormed), inner))

@@ -40,6 +40,12 @@ class IntervalBinRuleSpec extends SparkSpec {
         s"rewrite must engage (bin attr in physical plan); got:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
         "the quadratic physical join must be gone")
+      // the rewritten join must take the kernel's shuffle-merge path: the
+      // few-distinct-keys/many-duplicates shape makes a broadcast-hash
+      // plan walk the hashed relation's duplicate chain per streamed row
+      // (measured 33x slower than sort-merge on q53 at sf0.1)
+      assert(plan.contains("SortMergeJoin"),
+        s"rewritten binned join must be a shuffle-merge join; got:\n$plan")
       val after = df.as[(Long, Long)].collect().toSet
       assert(after == before, "rewritten plan must return the identical pair set")
       assert(after.nonEmpty)
@@ -125,6 +131,8 @@ class IntervalBinRuleSpec extends SparkSpec {
         val df = spark.sql(sqlText)
         val plan = df.queryExecution.executedPlan.toString
         assert(plan.contains("__graft_bin"), s"containment rewrite must engage:\n$plan")
+        assert(plan.contains("SortMergeJoin"),
+          s"containment binned join must be a shuffle-merge join; got:\n$plan")
         val got = df.as[(Long, Long)].collect()
         assert(got.length == got.toSet.size, "exactly-once emit must not duplicate pairs")
         assert(got.toSet == exp,
