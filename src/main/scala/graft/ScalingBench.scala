@@ -424,33 +424,91 @@ object ScalingBench {
   def measure(job: (SparkSession, Long) => Long, name: String, n: Long,
       reps: Int): Result = {
     val ratio = nBig / nSmall
+    val small = scala.collection.mutable.ArrayBuffer[RunSample]()
+    val big = scala.collection.mutable.ArrayBuffer[RunSample]()
+    // visit-0 stash: normally discarded (driver-JIT warm-up), PROMOTED
+    // when the deadline kills every measured visit — a flagged 1-sample
+    // number beats the round-4 nothing
+    val v0Small = scala.collection.mutable.ArrayBuffer[RunSample]()
+    val v0Big = scala.collection.mutable.ArrayBuffer[RunSample]()
+    var truncated = false
+    // per-arm wall-clock estimate of ONE full-size run (warmups included
+    // — they run the same job), updated after every run: the basis for
+    // every per-run deadline decision below
+    val estSec = scala.collection.mutable.Map[Int, Double]()
+    // margin covers the bracketing gauge reading, session stop, JSON
+    // emission and JVM exit; the parent's kill-with-grace is the backstop
+    def room(needSec: Double): Boolean =
+      msLeft == Long.MaxValue || msLeft > (needSec * 1000).toLong + 25000L
     def runVisit(cores: Int, visit: Int): Seq[RunSample] = {
+      // PER-RUN deadline governance (round-5 fix: the round-4 fail-safe
+      // truncated only BETWEEN visit pairs, and preflight + visit 0 +
+      // visit 1 alone can exceed slice+grace at ~50 s/run — all three
+      // cluster probes of the first round-5 dress died to the parent's
+      // SIGKILL mid-visit-1 with zero samples shipped). Contract: the
+      // FIRST warmup and FIRST run of a session are mandatory once the
+      // session starts (the parent's grace is sized for exactly that);
+      // the second warmup and every further run must individually fit
+      // the remaining slice, and a whole session is skipped when even
+      // its minimum cannot fit and the arm already has a sample.
+      val est0 = estSec.getOrElse(cores, 0.0)
+      val haveAny =
+        if (cores == nSmall) small.nonEmpty || v0Small.nonEmpty
+        else big.nonEmpty || v0Big.nonEmpty
+      if (haveAny && est0 > 0 && !room(2 * est0 + 15)) {
+        truncated = true
+        System.err.println(s"[scaling] $name cores=$cores visit=$visit skipped: " +
+          s"${msLeft / 1000} s left < minimum session cost — truncating")
+        return Nil
+      }
       cleanDir(spillDir(cores))
       val s = session(cores)
       s.sparkContext.setLogLevel("WARN")
       val rows = if (weak && cores == nBig) n * ratio else n
       try {
+        def one(): Unit = {
+          val t0 = System.nanoTime()
+          job(s, rows)
+          estSec(cores) = (System.nanoTime() - t0) / 1e9
+        }
         // TWO full-size warmups per measured session: every cluster session
         // spawns fresh executor JVMs whose SINGLE C2 compiler thread (under
         // -XX:ActiveProcessorCount=1) needs both before steady state
         // (one-warmup sessions measured 2x slow on identical input). The
         // discarded visit-0 exists for DRIVER-side classloading/JIT only —
-        // one warmup + one thrown-away run is enough there, and the saved
-        // full-size runs matter under the global bench budget.
-        if (visit == 0) job(s, rows) else { job(s, rows); job(s, rows) }
-        val k = if (visit == 0) 1 else perVisit
-        (0 until k).map { i =>
-          // each measured run starts from a collected heap: prior-run
-          // garbage otherwise bleeds G1 pauses into the measurement
-          System.gc()
-          val (st0, tot0) = cpuJiffies()
-          val r = timed(job(s, rows))
-          val (st1, tot1) = cpuJiffies()
-          val steal = if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
-          System.err.println(f"[scaling] $name cores=$cores visit=$visit run=$i " +
-            f"t=${r._2}%.2f s steal=${steal * 100}%.1f%%")
-          RunSample(r._1, r._2, steal)
+        // one warmup + one thrown-away run is enough there. The second
+        // warmup is cut under deadline pressure (flagged).
+        one()
+        if (visit != 0) {
+          if (room(2 * estSec(cores))) one() else truncated = true
         }
+        val k = if (visit == 0) 1 else perVisit
+        val buf = scala.collection.mutable.ArrayBuffer[RunSample]()
+        var i = 0
+        var stop = false
+        while (i < k && !stop) {
+          if (i > 0 && !room(estSec(cores))) {
+            truncated = true
+            stop = true
+            System.err.println(s"[scaling] $name cores=$cores visit=$visit: " +
+              s"${msLeft / 1000} s left < one more ~${estSec(cores).toInt} s run " +
+              "— truncating mid-visit")
+          } else {
+            // each measured run starts from a collected heap: prior-run
+            // garbage otherwise bleeds G1 pauses into the measurement
+            System.gc()
+            val (st0, tot0) = cpuJiffies()
+            val r = timed(job(s, rows))
+            val (st1, tot1) = cpuJiffies()
+            val steal = if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
+            estSec(cores) = r._2
+            System.err.println(f"[scaling] $name cores=$cores visit=$visit run=$i " +
+              f"t=${r._2}%.2f s steal=${steal * 100}%.1f%%")
+            buf += RunSample(r._1, r._2, steal)
+            i += 1
+          }
+        }
+        buf.toSeq
       } finally s.stop()
     }
     // Visits ALTERNATE arms (small, big, small, big, ...) every ~1-2 min
@@ -469,17 +527,16 @@ object ScalingBench {
     // (median over 5 clean samples is already stable; the round-4 dress
     // run paid 2 extra visits, ~8 min, to one 2.1% sample each)
     val targetClean = 2 * perVisit - 1
-    val small = scala.collection.mutable.ArrayBuffer[RunSample]()
-    val big = scala.collection.mutable.ArrayBuffer[RunSample]()
     // per-block gauge brackets: (pre, post, samples-in-block); each
     // reading closes one block and opens the next, so the weather cost is
     // one ~2.5 s reading per arm block
     type Brk = ((Double, Double), (Double, Double), Int)
     val smallBr = scala.collection.mutable.ArrayBuffer[Brk]()
     val bigBr = scala.collection.mutable.ArrayBuffer[Brk]()
+    val v0SmallBr = scala.collection.mutable.ArrayBuffer[Brk]()
+    val v0BigBr = scala.collection.mutable.ArrayBuffer[Brk]()
     def cleanN(xs: Seq[RunSample]) = xs.count(_.steal <= StealClean)
     var v = 0
-    var truncated = false
     var lastPairSec = 0.0
     var lastPairRuns = 0
     var gauge = Weather.reading()
@@ -507,12 +564,31 @@ object ScalingBench {
         if (v != 0) {
           small ++= sv; smallBr += ((gauge, gMid, sv.length))
           big ++= bv; bigBr += ((gMid, gEnd, bv.length))
+        } else {
+          v0Small ++= sv; v0SmallBr += ((gauge, gMid, sv.length))
+          v0Big ++= bv; v0BigBr += ((gMid, gEnd, bv.length))
         }
         gauge = gEnd
         lastPairSec = (System.nanoTime() - tp0) / 1e9
         lastPairRuns = nextRuns
         v += 1
       }
+    }
+    // every measured visit fell to the deadline: promote the discarded
+    // visit-0 warm-up samples for whichever arm is empty — biased ~10%
+    // slow (driver-side classloading/JIT), but flagged `truncated` and
+    // infinitely better than the round-4 empty artifact
+    if (small.isEmpty && v0Small.nonEmpty) {
+      truncated = true
+      small ++= v0Small; smallBr ++= v0SmallBr
+      System.err.println(s"[scaling] $name: promoting ${v0Small.length} " +
+        "visit-0 small-arm sample(s) — no measured visit fit the slice")
+    }
+    if (big.isEmpty && v0Big.nonEmpty) {
+      truncated = true
+      big ++= v0Big; bigBr ++= v0BigBr
+      System.err.println(s"[scaling] $name: promoting ${v0Big.length} " +
+        "visit-0 big-arm sample(s) — no measured visit fit the slice")
     }
     // normalize AFTER the loop: Weather.relative reads the process-best
     // gauges, which only settle once every block has been bracketed
@@ -703,8 +779,9 @@ object ScalingBench {
     val preflightBudgetMs = sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT_MS", "120000").toLong
     def preflight(job: String): Unit = {
       if (ceilBar <= 0) return
-      // never let the wait eat into the time the probe itself needs
-      val budget = math.min(preflightBudgetMs, math.max(0L, msLeft - 60000L))
+      // never let the wait eat into the time the probe itself needs: keep
+      // a reserve that covers at least visit 0 + a minimal visit 1
+      val budget = math.min(preflightBudgetMs, math.max(0L, msLeft - 240000L))
       val deadline = System.nanoTime() + budget * 1000000L
       // each poll also reads the absolute gauges: the bests they raise
       // anchor the probe's weather filter, and a poll measuring well
@@ -768,28 +845,55 @@ object ScalingBench {
       println(s"SCALING ${r.json}")
       println(s"SCALINGC ${r.compactJson}")
     }
+    // LAST-RESORT emission (round-5): whatever goes wrong inside a probe
+    // — an exception, a session that cannot start, a deadline pathology —
+    // the process still prints a structured SCALING/SCALINGC pair and
+    // exits 0, so the parent embeds an error entry instead of rc!=0
+    def emitSafe(jobName: String)(body: => Result): Unit =
+      try emit(body) catch {
+        case e: Throwable =>
+          val msg = (s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+          val j = s"""{"job":"$jobName","error":"$msg","truncated":true}"""
+          System.err.println(s"[scaling] $jobName probe failed: $e — shipping error entry")
+          println(s"SCALING $j")
+          println(s"SCALINGC $j")
+      }
     if (which == "all" || which == "window")
-      emit(gated(windowJob, "window_features_asof", nWin, "copy"))
+      emitSafe("window_features_asof")(
+        gated(windowJob, "window_features_asof", nWin, "copy"))
     if (which == "fused")
-      emit(gated(fusedJob, "fused_stack_asof", nWin, "copy"))
+      emitSafe("fused_stack_asof")(
+        gated(fusedJob, "fused_stack_asof", nWin, "copy"))
     if (which == "all" || which == "tokens")
-      emit(gated(tokenJob, "tokenize_fingerprint_quality", nTok, "compute"))
+      emitSafe("tokenize_fingerprint_quality")(
+        gated(tokenJob, "tokenize_fingerprint_quality", nTok, "compute"))
     if (which == "skew") {
-      // one arm (nBig cores), comparative: binned vs entity-hash keys
-      cleanDir(spillDir(nBig))
-      val s = session(nBig)
-      s.sparkContext.setLogLevel("WARN")
       try {
-        val ((rows, hash), tBinned, tEntity) = skewProbe(s, nSkew)
-        val j = f"""{"job":"skew_hot_entity","deploy":"$mode","n_cores":$nBig,""" +
-          f""""rows":$nSkew,"hot_frac":0.5,"checksum_rows":$rows,"checksum_hash":$hash,""" +
-          f""""binned_sec":$tBinned%.3f,"entity_hash_sec":$tEntity%.3f,""" +
-          f""""binned_speedup":${tEntity / tBinned}%.3f}"""
-        println(s"SCALING $j")
-        // compact: drop the checksum detail, keep the comparative numbers
-        println(f"""SCALINGC {"binned_sec":$tBinned%.3f,"entity_hash_sec":$tEntity%.3f,""" +
-          f""""binned_speedup":${tEntity / tBinned}%.3f}""")
-      } finally s.stop()
+        // one arm (nBig cores), comparative: binned vs entity-hash keys
+        cleanDir(spillDir(nBig))
+        val s = session(nBig)
+        s.sparkContext.setLogLevel("WARN")
+        try {
+          val ((rows, hash), tBinned, tEntity) = skewProbe(s, nSkew)
+          val j = f"""{"job":"skew_hot_entity","deploy":"$mode","n_cores":$nBig,""" +
+            f""""rows":$nSkew,"hot_frac":0.5,"checksum_rows":$rows,"checksum_hash":$hash,""" +
+            f""""binned_sec":$tBinned%.3f,"entity_hash_sec":$tEntity%.3f,""" +
+            f""""binned_speedup":${tEntity / tBinned}%.3f}"""
+          println(s"SCALING $j")
+          // compact: drop the checksum detail, keep the comparative numbers
+          println(f"""SCALINGC {"binned_sec":$tBinned%.3f,"entity_hash_sec":$tEntity%.3f,""" +
+            f""""binned_speedup":${tEntity / tBinned}%.3f}""")
+        } finally s.stop()
+      } catch {
+        case e: Throwable =>
+          val msg = (s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+          val j = s"""{"job":"skew_hot_entity","error":"$msg","truncated":true}"""
+          System.err.println(s"[scaling] skew probe failed: $e — shipping error entry")
+          println(s"SCALING $j")
+          println(s"SCALINGC $j")
+      }
     }
   }
 }
