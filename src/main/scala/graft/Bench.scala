@@ -190,11 +190,18 @@ object Bench {
     // whatever budget REMAINS — an early probe finishing fast donates its
     // leftover to later ones, an overrun shrinks them — and self-truncates
     // at its slice, shipping partial samples flagged `truncated`.
+    // 24 min: self-truncating probes finish AT their slice (no kill-grace
+    // spend), so 24 + sweep (~9 min at sf0.1) + JVM boots still clears a
+    // 40-min wall-clock comfortably — and the extra headroom is what lets
+    // the 1v4 window probe land a COMPLETE measured visit pair
+    // (preflight 2 + visit-0 1.7 + big 1.6 + small 4.6 ≈ 10 min) instead
+    // of a truncated one
     val probeBudgetMs =
-      (sys.env.getOrElse("SPARK_GRAFT_PROBE_BUDGET_MIN", "20").toDouble * 60000).toLong
+      (sys.env.getOrElse("SPARK_GRAFT_PROBE_BUDGET_MIN", "24").toDouble * 60000).toLong
     val part1Deadline = System.currentTimeMillis() + probeBudgetMs
-    // window 1v4 pays ~5x more 1-core full-size runs than the rest
-    val weights = Seq(0.38, 0.24, 0.24, 0.14)
+    // window 1v4 pays ~5x more 1-core full-size runs than the rest; skew
+    // is one session + two comparative runs
+    val weights = Seq(0.44, 0.28, 0.18, 0.10)
     def slice(idx: Int): Long = {
       val remW = weights.drop(idx).sum
       val rem = part1Deadline - System.currentTimeMillis()
@@ -298,11 +305,11 @@ object Bench {
       // mercy of the driver's tail capture (BENCH_r02 lost q01-q12 to a
       // mid-JSON truncation) — stderr carries each timing as it lands
       System.err.println(f"[bench] $name t=$dt%.3f s")
-      // drop plan-level caches between queries, UNTIMED: Dataset.persist
-      // registers in the session CacheManager, which holds a strong
-      // reference until explicit unpersist (ADVICE r4) — without this the
-      // q35/q51-style persisted probe plans accumulate for the whole sweep
-      try s1.catalog.clearCache() catch { case _: Throwable => }
+      // NO clearCache here (first round-5 dress regression): a session-
+      // wide clear also evicts the shared GFF index-table caches that
+      // q32-q51 amortize one ~10 s build across — q51 ballooned 4.9→83 s.
+      // The ADVICE-r4 probe-plan leak is bounded at the source instead
+      // (GffOps.lastProbePlan unpersists the previous entry).
       name -> dt
     }
     s1.stop()

@@ -557,16 +557,22 @@ object ScalingBench {
           s"estimated next visit pair ${estMs / 1000} s — truncating at $v visits")
       } else {
         val tp0 = System.nanoTime()
-        val sv = runVisit(nSmall, v)
-        val gMid = Weather.reading()
+        // BIG arm first within each visit (round-5): the big arm is ~4x
+        // cheaper per run, so when the slice deadline cuts a visit short
+        // it is the expensive SMALL arm that loses runs — the cheap arm's
+        // samples are already banked and the probe still ships a measured
+        // PAIR. (Small-first measured pairs died to "big arm skipped" in
+        // the second composed dress.)
         val bv = runVisit(nBig, v)
+        val gMid = Weather.reading()
+        val sv = runVisit(nSmall, v)
         val gEnd = Weather.reading()
         if (v != 0) {
-          small ++= sv; smallBr += ((gauge, gMid, sv.length))
-          big ++= bv; bigBr += ((gMid, gEnd, bv.length))
+          big ++= bv; bigBr += ((gauge, gMid, bv.length))
+          small ++= sv; smallBr += ((gMid, gEnd, sv.length))
         } else {
-          v0Small ++= sv; v0SmallBr += ((gauge, gMid, sv.length))
-          v0Big ++= bv; v0BigBr += ((gMid, gEnd, bv.length))
+          v0Big ++= bv; v0BigBr += ((gauge, gMid, bv.length))
+          v0Small ++= sv; v0SmallBr += ((gMid, gEnd, sv.length))
         }
         gauge = gEnd
         lastPairSec = (System.nanoTime() - tp0) / 1e9

@@ -29,9 +29,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // persisted plans (q35/q51 probe sides) otherwise accumulate in the
-      // session CacheManager across all ~56 queries (ADVICE r4)
-      try spark.catalog.clearCache() catch { case _: Throwable => }
+      // no clearCache between queries: it would evict the shared GFF
+      // index caches (one build amortized across q32-q51); the probe-plan
+      // leak is bounded inside GffOps.intersect instead
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object GffOps {
 
+  /** At most one live probe-plan cache entry per session (see intersect).
+    * One map entry per session is the bound — Verify/Bench run a handful
+    * of sessions per JVM, and unpersisting on replacement is what matters. */
+  private val lastProbePlan =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+
   /** extract: feature names -> fids (J3 broadcast-hash) -> roots (J4,
     * precomputed root_fid column) -> all rows of the matched groups,
     * file-ordered (S8/S9 sinks). `types` non-empty ≙ `-T` filtered output
@@ -101,14 +107,23 @@ object GffOps {
     // (measured ~3 s/eval of q35's 6.5 s warm wall clock). Persist once.
     // NOTE (ADVICE r4): Dataset.persist registers the plan in the session
     // CacheManager, which holds a strong reference until an explicit
-    // unpersist/clearCache — the ContextCleaner only reclaims GC'd RDDs.
-    // The entry can't be unpersisted here (the returned plan is lazy), so
-    // long-lived sessions issuing many DISTINCT region plans should call
-    // spark.catalog.clearCache() between queries — Bench and Verify do.
+    // unpersist/clearCache — the ContextCleaner only reclaims GC'd RDDs,
+    // and the entry can't be unpersisted here (the returned plan is lazy).
+    // BOUNDED instead of leaked: each session keeps at most ONE live
+    // probe-plan cache entry — persisting a new one unpersists the
+    // previous (an earlier returned plan that re-executes afterwards just
+    // recomputes, it does not break). A session-wide clearCache() here
+    // would be wrong: it also evicts the SHARED index-table caches that
+    // q32-q51 amortize one build across (measured: q51 4.9 s → 83 s in
+    // the round-5 dress sweeps that cleared between queries).
     val probes =
-      if (!invert && (matchOnly || types.nonEmpty))
-        probes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else probes0
+      if (!invert && (matchOnly || types.nonEmpty)) {
+        val p = probes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prev = lastProbePlan.put(probes0.sparkSession, p)
+        if (prev != null && (prev ne p))
+          try prev.unpersist(false) catch { case _: Throwable => () }
+        p
+      } else probes0
     val ivs = t.intervals.select(col("entity_id").as("entity"), col("start"),
       col("end"), col("root_fid"))
     if (invert) {
