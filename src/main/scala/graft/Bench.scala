@@ -190,18 +190,17 @@ object Bench {
     // whatever budget REMAINS — an early probe finishing fast donates its
     // leftover to later ones, an overrun shrinks them — and self-truncates
     // at its slice, shipping partial samples flagged `truncated`.
-    // 24 min: self-truncating probes finish AT their slice (no kill-grace
-    // spend), so 24 + sweep (~9 min at sf0.1) + JVM boots still clears a
-    // 40-min wall-clock comfortably — and the extra headroom is what lets
-    // the 1v4 window probe land a COMPLETE measured visit pair
-    // (preflight 2 + visit-0 1.7 + big 1.6 + small 4.6 ≈ 10 min) instead
-    // of a truncated one
+    // 26 min: self-truncating probes finish AT their slice (no kill-grace
+    // spend), so 26 + sweep (~4 min at sf0.1 after the cache fix) + JVM
+    // boots clears a 40-min wall-clock comfortably. Measured slice needs
+    // (dress runs, 2026-08-18): window 1v4 full measured pair ≈ 10.5 min
+    // (preflight 2 + visit-0 2 + big 1.6 + 3x ~50 s small runs), tokens
+    // 2v8 ≈ 9.5 min (its 2-core arm runs ~65 s), stress 2v8 ≈ 4 min, skew
+    // ≈ 2 min — hence the weights
     val probeBudgetMs =
-      (sys.env.getOrElse("SPARK_GRAFT_PROBE_BUDGET_MIN", "24").toDouble * 60000).toLong
+      (sys.env.getOrElse("SPARK_GRAFT_PROBE_BUDGET_MIN", "26").toDouble * 60000).toLong
     val part1Deadline = System.currentTimeMillis() + probeBudgetMs
-    // window 1v4 pays ~5x more 1-core full-size runs than the rest; skew
-    // is one session + two comparative runs
-    val weights = Seq(0.44, 0.28, 0.18, 0.10)
+    val weights = Seq(0.40, 0.36, 0.16, 0.08)
     def slice(idx: Int): Long = {
       val remW = weights.drop(idx).sum
       val rem = part1Deadline - System.currentTimeMillis()

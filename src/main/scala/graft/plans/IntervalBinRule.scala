@@ -132,21 +132,21 @@ object IntervalBinRule extends Rule[LogicalPlan] with PredicateHelper {
     else JoinHint(f(h.leftHint), f(h.rightHint))
   }
 
-  /** Plans this rule must leave alone: its own rewrites (`__graft_bin`),
-    * its residue branches (`__graft_nobin`), and the engine's OWN binned
-    * kernels (`__bin` — ops.IntervalJoin): once filter pushdown folds the
-    * kernel's mode predicate into its (entity, __bin) equi-join, the
-    * condition matches this rule's patterns, and re-binning an
-    * already-binned join at best adds a useless layer and at worst (the
-    * containment Union, whose branches DUPLICATE the child subtrees)
-    * doubles the plan per kernel join until the optimizer crawls —
-    * observed as a 20-minute ColumnPruning stall on q35's two-join
-    * pipeline with the q53/q55 force flag set. A user column literally
-    * named `__bin` is an accepted blind spot (documented here).
+  /** Plans this rule must leave alone: its own rewrites (`__graft_bin`)
+    * and the engine's OWN binned kernels (`__bin` — ops.IntervalJoin):
+    * once filter pushdown folds the kernel's mode predicate into its
+    * (entity, __bin) equi-join, the condition matches this rule's
+    * patterns, and re-binning an already-binned join adds useless layers
+    * until the optimizer crawls — observed as a 20-minute ColumnPruning
+    * stall on q35's two-join pipeline with the q53/q55 force flag set.
+    * Both marker columns are REFERENCED by their join conditions, so
+    * column pruning cannot strip them (the lesson of the retired
+    * `__graft_nobin` residue marker, which nothing referenced). A user
+    * column literally named `__bin` is an accepted blind spot
+    * (documented here).
     */
   private def marker(p: LogicalPlan): Boolean =
-    p.output.exists(a => a.name == "__graft_bin" || a.name == "__graft_nobin" ||
-      a.name == "__bin")
+    p.output.exists(a => a.name == "__graft_bin" || a.name == "__bin")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner, Some(cond), hint)
@@ -217,57 +217,68 @@ object IntervalBinRule extends Rule[LogicalPlan] with PredicateHelper {
     } yield (iLo, iHi, oLo, oHi, s1)).headOption
   }
 
-  /** Containment -> binned equi-join, with an exactness argument:
+  /** Containment -> ONE binned equi-join, exactly-once for EVERY row
+    * shape, degenerate intervals included — no residue branch.
     *
-    *  - each side explodes over its coordinate bins `sequence(lo div B,
-    *    (hi-1) div B)` and the pair is emitted only where the INNER side's
-    *    bin equals `innerLo div B` (the intersection-start bin — for a
-    *    pattern-true pair innerLo = max(innerLo, outerLo));
-    *  - `innerLo div B` is ALWAYS the first element of the inner side's
-    *    own sequence, and for a WELL-FORMED inner (lo < hi) it lies inside
-    *    the outer side's sequence too: outerLo <= innerLo (conjunct 1) and
-    *    innerLo < innerHi <= outerHi (well-formed + conjunct 2) give
-    *    outerLo div B <= innerLo div B <= (outerHi-1) div B;
-    *  - both sequences are duplicate-free, so the pair is emitted at most
-    *    once: EXACTLY-once for well-formed inners, and the original
-    *    conjuncts are preserved so candidates never produce false rows.
+    * Each side explodes over `sequence(lo div B, (hi-1) div B)`. Spark's
+    * `sequence(a, b)` steps DOWNWARD when a > b, so the bins emitted are
+    * always the contiguous range [min(loB, hi1B), max(loB, hi1B)] (where
+    * xB = x div B, hi1B = (hi-1) div B), each bin exactly once — for a
+    * well-formed interval (lo < hi) that is the ascending [loB, hi1B]; for
+    * a degenerate one (lo >= hi: empty/inverted) it is the reversed span.
     *
-    * DEGENERATE inner rows (lo >= hi: empty/inverted intervals) satisfy the
-    * raw predicates with an UNBOUNDED lo — e.g. inner (20000, 3) is
-    * "contained" in outer (0, 10000) by plain arithmetic — and no
-    * coordinate-bin scheme can cover them, so they take a RESIDUE branch:
-    * the original join over just those rows (with a well-formed inner the
-    * pattern makes a degenerate OUTER unsatisfiable — innerLo < innerHi <=
-    * outerHi <= outerLo <= innerLo is a contradiction — so one residue
-    * covers everything). Sane data has zero such rows and the residue join
-    * sees an empty side; its inner child carries a `__graft_nobin` marker
-    * column so this rule never re-matches it (the optimizer batch runs to
-    * fixed point). The overlap pattern needs none of this: its strict
-    * conjuncts bound every pattern-true pair, degenerate or not.
+    * EXACTLY-ONCE emit bin: a pair is emitted only where the inner side's
+    * bin equals `greatest(innerLower, outerLower)` with
+    * innerLower = least(iLoB, iHi1B), outerLower = least(oLoB, oHi1B) —
+    * the lower end of the bin-range INTERSECTION. It lies in BOTH ranges
+    * for every pair satisfying the raw predicates: from iLo >= oLo and
+    * iHi <= oHi,
+    *   - inner's upper end max(iLoB, iHi1B) >= iLoB >= oLoB >= outerLower,
+    *   - outer's upper end max(oLoB, oHi1B) >= oHi1B >= iHi1B >= innerLower,
+    * so the two ranges overlap and the greatest of their lower ends is in
+    * both ([a1,b1] and [a2,b2] with a1<=b2 and a2<=b1 share max(a1,a2)).
+    * For the normal well-formed case this reduces to the familiar
+    * intersection-start bin `iLo div B` (iLo >= oLo makes it the max).
+    * Both sequences are duplicate-free, so at most one (iBin, oBin)
+    * combination satisfies it: exactly-once, no dedup. The original
+    * conjuncts are preserved, so candidate pairs never produce false rows;
+    * null coordinates emit no bins (Generate, outer=false), matching the
+    * theta join where a null comparison is never true.
+    *
+    * WHY not a residue branch for degenerate rows (the first round-5
+    * design): its `__graft_nobin` guard column was referenced by nothing,
+    * so ColumnPruning stripped it each optimizer iteration and this rule
+    * re-matched its own residue to fixed point — q55's physical plan grew
+    * to 1547 nodes (~30 duplicated scan+join branches, 31 s where the
+    * overlap twin took 4 s). A single join with a complete emit-once proof
+    * has nothing to re-match: its children carry `__graft_bin`, which the
+    * join condition references, so pruning keeps it.
+    *
+    * Scale note: a degenerate interval's reversed span explodes into
+    * |lo - hi| / B bins — the same hazard class as an extreme well-formed
+    * span in the overlap rewrite, inherent to fixed-width binning.
     */
   private def rewriteContainment(j: Join, l: LogicalPlan, r: LogicalPlan,
       hint: JoinHint, cond: Expression, conjuncts: Seq[Expression],
       eqs: Seq[Expression], iLo: Expression, iHi: Expression,
       oLo: Expression, oHi: Expression, innerIsLeft: Boolean): LogicalPlan = {
     val inner = if (innerIsLeft) l else r
-    val wellFormed = LessThan(toLong(iLo), toLong(iHi))
-    val (iGen, iBin) = withBins(Filter(wellFormed, inner), iLo, iHi)
+    val (iGen, iBin) = withBins(inner, iLo, iHi)
     val (oGen, oBin) = withBins(if (innerIsLeft) r else l, oLo, oHi)
-    val emitOnce = EqualTo(
-      IntegralDivide(toLong(iLo), Literal(BinSize, LongType)), iBin)
+    val b = Literal(BinSize, LongType)
+    def binOf(e: Expression) = IntegralDivide(toLong(e), b)
+    def binOfHi(e: Expression) =
+      IntegralDivide(Subtract(toLong(e), Literal(1L, LongType)), b)
+    val innerLower = Least(Seq(binOf(iLo), binOfHi(iHi)))
+    val outerLower = Least(Seq(binOf(oLo), binOfHi(oHi)))
+    val emitOnce = EqualTo(Greatest(Seq(innerLower, outerLower)), iBin)
     val newCond = (eqs :+ EqualTo(iBin, oBin)) ++
       conjuncts.filterNot(eqs.contains) :+ emitOnce
     val binned =
       if (innerIsLeft) Join(iGen, oGen, Inner, Some(newCond.reduce(And)), shuffleMerge(hint))
       else Join(oGen, iGen, Inner, Some(newCond.reduce(And)), shuffleMerge(hint))
-    val marked = Project(
-      inner.output :+ Alias(Literal(true), "__graft_nobin")(),
-      Filter(Not(wellFormed), inner))
-    val residue =
-      if (innerIsLeft) Join(marked, r, Inner, Some(cond), hint)
-      else Join(l, marked, Inner, Some(cond), hint)
     logInfo(s"graft: rewrote containment theta join to (entity, bin) equi-join " +
       s"(bin=$BinSize, ${eqs.length} entity key(s), inner=${if (innerIsLeft) "left" else "right"})")
-    Union(Project(j.output, binned), Project(j.output, residue))
+    Project(j.output, binned)
   }
 }

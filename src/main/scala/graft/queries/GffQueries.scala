@@ -621,8 +621,9 @@ object GffQueries {
   // SQL still got SortMergeJoin-on-entity + filter, per-entity quadratic).
   // Same tables as q53, but the user types Contained-mode SQL (probe
   // within feature, >=/<= conjuncts). IntervalBinRule.rewriteContainment
-  // re-plans it onto the binned (entity, bin) equi-join + the
-  // degenerate-inner residue branch; asserted to fire.
+  // re-plans it onto a single binned (entity, bin) shuffle-merge
+  // equi-join whose emit-once bin covers degenerate intervals too;
+  // asserted to fire.
   val q55: Q = (s, d) => {
     Views.probesBulk(s, d).createOrReplaceTempView("graft_q55_probes")
     Views.feats(s, d).select(col("entity"), col("start"), col("end"), col("fid"))
