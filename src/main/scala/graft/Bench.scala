@@ -200,7 +200,7 @@ object Bench {
     val probeBudgetMs =
       (sys.env.getOrElse("SPARK_GRAFT_PROBE_BUDGET_MIN", "26").toDouble * 60000).toLong
     val part1Deadline = System.currentTimeMillis() + probeBudgetMs
-    val weights = Seq(0.40, 0.36, 0.16, 0.08)
+    val weights = Seq(0.36, 0.40, 0.16, 0.08)
     def slice(idx: Int): Long = {
       val remW = weights.drop(idx).sum
       val rem = part1Deadline - System.currentTimeMillis()

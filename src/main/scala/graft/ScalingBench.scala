@@ -450,15 +450,30 @@ object ScalingBench {
       // session starts (the parent's grace is sized for exactly that);
       // the second warmup and every further run must individually fit
       // the remaining slice, and a whole session is skipped when even
-      // its minimum cannot fit and the arm already has a sample.
-      val est0 = estSec.getOrElse(cores, 0.0)
+      // its minimum cannot fit — unless the arm has NO sample yet at a
+      // measured visit, where the mandatory minimum is exactly what the
+      // parent's grace covers. An unmeasured small arm's cost is seeded
+      // from the measured big arm scaled by the core ratio (pessimistic
+      // ~linear prior), so visit 0 can skip its expensive small half
+      // when the slice clearly cannot also fit a MEASURED small visit —
+      // spending the time on visit 1's real samples instead of a
+      // discarded warmup (three dress runs lost the tokens 2-core
+      // measured visit by ~60-90 s to exactly that warmup).
+      val est0 = estSec.getOrElse(cores,
+        if (cores == nSmall)
+          estSec.get(nBig).map(_ * nBig / nSmall * 0.8).getOrElse(0.0)
+        else 0.0)
       val haveAny =
         if (cores == nSmall) small.nonEmpty || v0Small.nonEmpty
         else big.nonEmpty || v0Big.nonEmpty
-      if (haveAny && est0 > 0 && !room(2 * est0 + 15)) {
+      val mustAttempt = visit != 0 && !haveAny
+      // a v0 small-arm skip must leave room for v1's mandatory minimum
+      // (2 runs) plus its own 2 would-be runs — i.e. skip when < 4 runs fit
+      val needSec = if (visit == 0) 4 * est0 + 30 else 2 * est0 + 15
+      if (!mustAttempt && est0 > 0 && !room(needSec)) {
         truncated = true
         System.err.println(s"[scaling] $name cores=$cores visit=$visit skipped: " +
-          s"${msLeft / 1000} s left < minimum session cost — truncating")
+          s"${msLeft / 1000} s left < ${needSec.toInt} s session cost — truncating")
         return Nil
       }
       cleanDir(spillDir(cores))
