@@ -132,9 +132,10 @@ object Bench {
       drain.setDaemon(true)
       drain.start()
       // grace past the slice: the subprocess self-truncates AT the slice
-      // deadline but still needs to finish its in-flight full-size run,
-      // stop the session, and emit (~one 1-core run + teardown)
-      val graceMs = 180000L
+      // deadline but may still owe each arm's MANDATORY minimum (warmup +
+      // one run + teardown per arm with no measured sample yet — worst
+      // case both arms, ~2 x (2 runs + boot) on the small-arm clock)
+      val graceMs = 240000L
       val done = proc.waitFor(sliceMs + graceMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       if (!done) { proc.destroyForcibly(); proc.waitFor() }
       drain.join(10000)

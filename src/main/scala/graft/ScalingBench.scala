@@ -463,17 +463,25 @@ object ScalingBench {
         if (cores == nSmall)
           estSec.get(nBig).map(_ * nBig / nSmall * 0.8).getOrElse(0.0)
         else 0.0)
-      val haveAny =
-        if (cores == nSmall) small.nonEmpty || v0Small.nonEmpty
-        else big.nonEmpty || v0Big.nonEmpty
+      // MEASURED samples only: a visit-0 stash is a last-resort fallback,
+      // not a reason to skip the arm's one mandatory measured visit — the
+      // tokens probe missed its measured pair by 23 s in a dress run
+      // because the stash counted as "have any". A mandatory minimum that
+      // starts just before the deadline ends ~(warmup + run + teardown)
+      // past it, which is exactly what the parent's grace covers.
+      val haveAny = if (cores == nSmall) small.nonEmpty else big.nonEmpty
       val mustAttempt = visit != 0 && !haveAny
       // a v0 small-arm skip must leave room for v1's mandatory minimum
       // (2 runs) plus its own 2 would-be runs — i.e. skip when < 4 runs fit
       val needSec = if (visit == 0) 4 * est0 + 30 else 2 * est0 + 15
       if (!mustAttempt && est0 > 0 && !room(needSec)) {
-        truncated = true
+        // a skipped visit-0 arm must NOT flag truncation: visit 0 is the
+        // discarded warmup, and the flag ends the measurement loop — it
+        // ended it before visit 1's mandatory minimums in one dress run,
+        // leaving an arm with zero samples (shipped as an error entry)
+        if (visit != 0) truncated = true
         System.err.println(s"[scaling] $name cores=$cores visit=$visit skipped: " +
-          s"${msLeft / 1000} s left < ${needSec.toInt} s session cost — truncating")
+          s"${msLeft / 1000} s left < ${needSec.toInt} s session cost")
         return Nil
       }
       cleanDir(spillDir(cores))
