@@ -36,9 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "dot_f(x, y) - strict left-to-right double dot product of two float arrays"),
       (children: Seq[Expression]) => DotExpr(children.head, children(1))))
     // SQL front-end for the interval family: ad-hoc theta joins matching
-    // the overlap pattern re-plan onto the binned (entity, bin) equi-join
-    // (see graft.plans.IntervalBinRule — the last fidelity gap between
-    // SparkEntry.queries and user SQL).
+    // the overlap or containment patterns re-plan onto the binned
+    // (entity, bin) equi-join (see graft.plans.IntervalBinRule — the last
+    // fidelity gap between SparkEntry.queries and user SQL) ...
     ext.injectOptimizerRule(_ => graft.plans.IntervalBinRule)
+    // ... and ad-hoc point-in-time SQL (join on f.t <= p.t + max_by per
+    // probe) re-plans onto the leakage-safe windowed as-of shape
+    // (graft.plans.AsOfAggRule).
+    ext.injectOptimizerRule(_ => graft.plans.AsOfAggRule)
   }
 }
