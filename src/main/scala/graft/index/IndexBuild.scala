@@ -39,23 +39,31 @@ object IndexBuild {
     // partitioner's sampling pass, zipWithIndex's per-partition count job,
     // and the cache fill — each with its own codegen. Build-time scratch,
     // freed by releaseScratch() with the rest.
-    val parsedC = parsed.cache()
+    //
+    // r6: project to the columns the index actually serves BEFORE the
+    // cache and the stage-1 range exchange (guide §2.3 "project before the
+    // exchange"): the parse also carries source/score/strand/phase and the
+    // RAW attrs string — none reach any index table, but they were cached,
+    // range-shuffled and zipped through stage 1 (attrs is the widest
+    // column in the corpus). Cache fill forces every column; pruning
+    // can't help after the fact.
+    val served = Seq("line_no", "seqid", "ftype", "start", "end", "id", "parent", "attr")
+    val parsedC = parsed.select(served.map(col): _*).cache()
     parsedC.count()
     // stage 1: dense fid by file order (≙ fid = row ordinal, core.rs:141-144).
     // NOT row_number() over an unpartitioned Window — that funnels the whole
     // corpus through ONE task ("Moving all data to a single partition").
-    // Range-partition on line_no + per-partition zipWithIndex gives the
-    // identical rank fully distributed (partitions are ordered ranges, rows
-    // sorted within, line_no unique -> index == global rank), at the cost of
-    // zipWithIndex's one extra per-partition count job.
+    // Range-partition on line_no + per-partition zip gives the identical
+    // rank fully distributed (partitions are ordered ranges, rows sorted
+    // within, line_no unique -> index == global rank), at the cost of one
+    // extra per-partition count job. r6: the zip runs at the InternalRow
+    // level (graftx.InternalZip) — the old `.rdd.zipWithIndex()` +
+    // createDataFrame paid two full external-Row serde passes over the
+    // corpus just to append the ordinal (guide §1.2 per-task work).
     val sorted = parsedC.repartitionByRange(col("line_no"))
       .sortWithinPartitions(col("line_no"))
-    val featSchema = sorted.schema.add("fid", org.apache.spark.sql.types.LongType,
-      nullable = false)
-    val feats = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      }, featSchema).cache()
+    val feats = org.apache.spark.sql.graftx.InternalZip
+      .withOrdinal(sorted, "fid").cache()
 
     // stage 2: entity dictionary in first-appearance order (core.rs:153).
     // The unpartitioned row_number windows below run on POST-AGGREGATION

@@ -37,16 +37,32 @@ object StreamQueries {
     val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_stream_ckpt"
                else System.getProperty("java.io.tmpdir") + "/graft_stream_ckpt"
     val ckpt = s"$base/$name-${java.util.UUID.randomUUID().toString.take(8)}"
+    // Stateful streaming instantiates ONE state store per shuffle partition
+    // per micro-batch (provider init + delta file + fsync at every commit):
+    // at the batch session's default (2x cores = 64) that is 64 stores —
+    // 192 commits across q56's three batches — for a fixture-sized state.
+    // State-store count is a STATE-VOLUME knob, not a CPU knob (guide §2.2:
+    // fewer, larger partitions; the store partitioning is fixed at
+    // checkpoint creation, so production sizes it to projected state, not
+    // core count). Parameterized, default 8; scoped to the stream's
+    // lifetime and restored even on failure — the surrounding batch
+    // session's shuffle partitioning is untouched (no session-state bleed).
+    val parts = spark.conf.get("spark.graft.stream.shufflePartitions", "8")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions", null)
     // the checkpoint is scratch, not a resume point — and it is RAM-backed
     // (/dev/shm), so it must go even when the query throws (ADVICE r4: the
     // success-path-only delete leaked a checkpoint dir per failed run)
     try {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally
+    } finally {
+      if (prev != null) spark.conf.set("spark.sql.shuffle.partitions", prev)
+      else spark.conf.unset("spark.sql.shuffle.partitions")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt)): Unit
+    }
     spark.table(name)
   }
 
@@ -139,13 +155,19 @@ object StreamQueries {
       val ev = Views.table(s, d, "events")
       val tsUs = unix_micros(col("ts").cast("timestamp"))
       val tMax = ev.agg(max(tsUs)).collect()(0).getLong(0)
-      ev.where(tsUs <= tMax - 7200000000L && col("event_id") % 2 === 0)
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/a")
-      ev.where(tsUs > tMax - 7200000000L && tsUs <= tMax - 3600000000L)
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/c")
-      ev.where(tsUs > tMax - 3600000000L ||
-          (tsUs <= tMax - 7200000000L && col("event_id") % 2 === 1))
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/b")
+      // ONE write job for all three batches (guide §1.2: don't run three
+      // full source scans where one suffices): tag each row with its batch,
+      // write partitioned by the tag, then rename `__batch=x/` -> `x/`.
+      // Same bytes per sub-dir as the old three filtered writes — every
+      // event lands in exactly one batch by the same predicates.
+      val batch = when(tsUs <= tMax - 7200000000L && col("event_id") % 2 === 0, "a")
+        .when(tsUs > tMax - 7200000000L && tsUs <= tMax - 3600000000L, "c")
+        .otherwise("b")
+      ev.withColumn("__batch", batch)
+        .repartition(col("__batch"))
+        .write.partitionBy("__batch").mode("overwrite").parquet(dir)
+      for (sub <- Seq("a", "b", "c"))
+        new java.io.File(s"$dir/__batch=$sub").renameTo(new java.io.File(s"$dir/$sub")): Unit
       val now = System.currentTimeMillis()
       for ((sub, off) <- Seq(("a", 180000L), ("c", 120000L), ("b", 60000L))) {
         val fs = new java.io.File(s"$dir/$sub").listFiles()
