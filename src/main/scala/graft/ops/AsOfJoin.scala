@@ -72,7 +72,8 @@ object AsOfJoin {
     // The exact count is computed ONCE and threaded into the guarded impl
     // (ADVICE r2: the public broadcastPath's require re-ran the count job,
     // a redundant full scan of the feature side per auto join).
-    if (statsSmall && tiebreak.isEmpty && feats.count() <= BroadcastMaxRows)
+    if (statsSmall && tiebreak.isEmpty &&
+        feats.limit((BroadcastMaxRows + 1).toInt).count() <= BroadcastMaxRows)
       broadcastChecked(probes, feats)
     else windowed(probes, feats, tiebreak)
   }

@@ -88,18 +88,33 @@ object IntervalJoin {
     */
   def join(probes: DataFrame, feats: DataFrame, mode: OverlapMode = Overlap,
       binSize: Long = 8192L): DataFrame = {
-    val pSmall = planBytes(probes) <= BroadcastMaxPlanBytes
-    val fSmall = planBytes(feats) <= BroadcastMaxPlanBytes
+    val pBytes = planBytes(probes)
+    val fBytes = planBytes(feats)
+    val pSmall = pBytes <= BroadcastMaxPlanBytes
+    val fSmall = fBytes <= BroadcastMaxPlanBytes
     if (!pSmall && !fSmall) binnedJoin(probes, feats, mode, binSize)
     else {
-      val pCnt = if (pSmall) probes.count() else Long.MaxValue
-      val fCnt = if (fSmall) feats.count() else Long.MaxValue
-      // count verified HERE once; the checked impl skips the re-count the
-      // public broadcast entry points run for direct callers (ADVICE r2)
-      if (math.min(pCnt, fCnt) > BroadcastMaxRows) binnedJoin(probes, feats, mode, binSize)
-      else if (pCnt <= fCnt)
-        broadcastImpl(prep(probes, "p"), prep(feats, "f"), mode, buildIsFeature = false)
-      else broadcastImpl(prep(probes, "p"), prep(feats, "f"), mode, buildIsFeature = true)
+      // Build-side choice by plan-stats BYTES (what a broadcast actually
+      // costs), cap-checked by ONE bounded count job on the chosen side.
+      // r6 (guide §1.2): the old path ran an exact count() job on EVERY
+      // stats-small side — for the q35 re-check join that re-executed the
+      // matched-rows join once per decision, ~1-3 s of pure decision
+      // overhead per query. limit(cap+1) bounds the probe: a side whose
+      // stats lied big stops scanning after cap+1 rows instead of
+      // completing a full count.
+      val candidates = Seq((pSmall, false, pBytes), (fSmall, true, fBytes))
+        .collect { case (true, buildIsFeature, bytes) => (buildIsFeature, bytes) }
+        .sortBy(_._2)
+      val chosen = candidates.iterator.map { case (buildIsFeature, _) =>
+        val side = if (buildIsFeature) feats else probes
+        val capped = side.limit((BroadcastMaxRows + 1).toInt).count()
+        (buildIsFeature, capped <= BroadcastMaxRows)
+      }.collectFirst { case (buildIsFeature, true) => buildIsFeature }
+      chosen match {
+        case Some(buildIsFeature) =>
+          broadcastImpl(prep(probes, "p"), prep(feats, "f"), mode, buildIsFeature)
+        case None => binnedJoin(probes, feats, mode, binSize)
+      }
     }
   }
 
