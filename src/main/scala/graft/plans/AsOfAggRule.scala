@@ -171,53 +171,60 @@ object AsOfAggRule extends Rule[LogicalPlan] with PredicateHelper {
     val pClean = notNull(probe, entPairs.map(_._1) :+ pT)
     val fClean = notNull(feat, entPairs.map(_._2) :+ fT)
     def nul(e: Expression): Expression = Literal(null, e.dataType)
-    // union layout: [ent*, t, tag, fillT-src, v*, probeCols*]
+    // The fill source is ONE struct(t, v0..vn) — non-null for every
+    // feature row even when a value column is null — mirroring
+    // ops.AsOfJoin.windowed's __fv struct (ADVICE r5 high: per-column
+    // Last(v, ignoreNulls) fills skipped a NULL value at the max f.t and
+    // returned the most recent NON-null value instead — silent wrong
+    // results for nullable max_by value columns).
+    val fvStruct = CreateNamedStruct(
+      Seq(Literal("t"), fT) ++ maxByVals.zipWithIndex.flatMap { case (v, i) =>
+        Seq(Literal(s"v$i"), v) })
+    // union layout: [ent*, t, tag, fv-struct, probeCols*]
     // PROBE FIRST: Union keeps the first child's exprIds, so the probe's
     // own columns flow through to the final aggregate unchanged
     val pProj = Project(
       entPairs.map { case (pe, _) => Alias(pe, "__g_e")() } ++
         Seq(Alias(pT, "__g_t")(), Alias(Literal(1), "__g_tag")(),
-          Alias(nul(fT), "__g_ft")()) ++
-        maxByVals.zipWithIndex.map { case (v, i) => Alias(nul(v), s"__g_v$i")() } ++
+          Alias(Literal(null, fvStruct.dataType), "__g_fv")()) ++
         probe.output,
       pClean)
     val fProj = Project(
       entPairs.map { case (_, fe) => Alias(fe, "__g_e")() } ++
         Seq(Alias(fT, "__g_t")(), Alias(Literal(0), "__g_tag")(),
-          Alias(fT, "__g_ft")()) ++
-        maxByVals.zipWithIndex.map { case (v, i) => Alias(v, s"__g_v$i")() } ++
+          Alias(fvStruct, "__g_fv")()) ++
         probe.output.map(a => Alias(nul(a), a.name)()),
       fClean)
     val union = Union(Seq(pProj, fProj))
     val uo = union.output
     val nEnt = entPairs.length
     val (entA, tA, tagA) = (uo.take(nEnt), uo(nEnt), uo(nEnt + 1))
-    val ftA = uo(nEnt + 2)
-    val vA = uo.slice(nEnt + 3, nEnt + 3 + maxByVals.length)
+    val fvA = uo(nEnt + 2)
     val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
     val spec = WindowSpecDefinition(entA,
       Seq(SortOrder(tA, Ascending), SortOrder(tagA, Ascending)), frame)
-    def fill(src: Expression, name: String): NamedExpression =
-      Alias(WindowExpression(
-        Last(src, ignoreNulls = true).toAggregateExpression(), spec), name)()
-    val fillT = fill(ftA, "__g_fill_t")
-    val fillVs = vA.zipWithIndex.map { case (a, i) => fill(a, s"__g_fill_v$i") }
-    val win = Window(fillT +: fillVs, entA,
+    val fillFv = Alias(WindowExpression(
+      Last(fvA, ignoreNulls = true).toAggregateExpression(), spec), "__g_fill_fv")()
+    val win = Window(Seq(fillFv), entA,
       Seq(SortOrder(tA, Ascending), SortOrder(tagA, Ascending)), union)
     val kept = Filter(And(EqualTo(tagA, Literal(1)),
-      IsNotNull(fillT.toAttribute)), win)
+      IsNotNull(fillFv.toAttribute)), win)
+    def fillT: Expression =
+      GetStructField(fillFv.toAttribute, 0, Some("t"))
+    def fillV(i: Int): Expression =
+      GetStructField(fillFv.toAttribute, i + 1, Some(s"v$i"))
     // final aggregate: identical group keys and output names/exprIds;
     // max_by/max collapse onto the fills (max over rows of per-row max
-    // == max over pairs)
+    // == max over pairs). The filled struct is extracted per field, so a
+    // null VALUE at the winning t stays null, exactly like the theta plan.
     val newAggExprs = aggExprs.zip(kinds).map { case (ne, k) =>
       val subst = k.get._2
       ne.transformUp {
         case ae: AggregateExpression if subst.contains(ae) =>
           subst(ae) match {
             case FillMaxBy(i) =>
-              MaxBy(fillVs(i).toAttribute, fillT.toAttribute)
-                .toAggregateExpression()
-            case FillMaxT => Max(fillT.toAttribute).toAggregateExpression()
+              MaxBy(fillV(i), fillT).toAggregateExpression()
+            case FillMaxT => Max(fillT).toAggregateExpression()
             case GroupOnly => ae
           }
       }.asInstanceOf[NamedExpression]

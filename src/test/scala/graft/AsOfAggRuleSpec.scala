@@ -84,6 +84,35 @@ class AsOfAggRuleSpec extends SparkSpec {
     }
   }
 
+  test("nullable max_by values: a NULL value at the winning t stays NULL") {
+    // ADVICE r5 (high): per-column Last(v, ignoreNulls) fills returned the
+    // most recent NON-null value when the value at max f.t was NULL. Every
+    // third feature's value is null — with unique t per row, many probes'
+    // winning feature row is a null-valued one, which the struct fill must
+    // preserve as null exactly like the theta plan's max_by.
+    val f = (0 until 400).map { i =>
+      val ent = s"u${i % 5}"
+      val t: java.lang.Long = 20L * i
+      val v: java.lang.Long = if (i % 3 == 0) null else (i * 31L) % 997
+      (ent, t, v)
+    }.toDF("entity", "t", "value")
+    f.createOrReplaceTempView("feats_ao")
+    mkProbes(1500, 23).createOrReplaceTempView("probes_ao")
+    val expected = spark.sql(asofSql).as[(Long, Option[Long], Long)].collect().toSet
+    withRule {
+      val df = spark.sql(asofSql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isEmpty,
+        "rewrite must engage for the nullable-value shape")
+      val got = df.as[(Long, Option[Long], Long)].collect().toSet
+      assert(got == expected,
+        s"diverged: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      // the discriminating population must exist: some group's winning
+      // value IS null (otherwise this test proves nothing)
+      assert(expected.exists(_._2.isEmpty), "fixture must produce null winners")
+    }
+  }
+
   test("guards: strict <, count(*), extra conjuncts, feature-side keys do not rewrite") {
     mkProbes(300, 17).createOrReplaceTempView("probes_ao")
     mkFeats(200, 19).createOrReplaceTempView("feats_ao")
