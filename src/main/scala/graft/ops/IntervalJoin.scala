@@ -234,14 +234,16 @@ object IntervalJoin {
     val width =
       if (binSize > 0) binSize
       else {
-        val mp = p.agg(max(col("p_end") - col("p_start"))).collect()(0)
-        val mf = f.agg(max(col("f_end") - col("f_start"))).collect()(0)
-        val m1 = if (mp.isNullAt(0)) 0L else mp.getLong(0)
-        val m2 = if (mf.isNullAt(0)) 0L else mf.getLong(0)
+        // ONE job for both sides' max lengths (r6, guide §1.2: the
+        // two-job version paid a full scheduling round trip per side)
+        val m = p.select(max(col("p_end") - col("p_start")).as("m"))
+          .unionAll(f.select(max(col("f_end") - col("f_start")).as("m")))
+          .agg(max(col("m"))).collect()(0)
+        val m1 = if (m.isNullAt(0)) 0L else m.getLong(0)
         // floor keeps tiny-interval data from creating millions of
         // near-empty groups; a single giant interval degrades gracefully
         // toward the per-entity sweep
-        math.max(math.max(m1, m2), 4096L)
+        math.max(m1, 4096L)
       }
     val pPay = p.columns.drop(1) // p_start, p_end, payload...
     val fPay = f.columns.drop(1)

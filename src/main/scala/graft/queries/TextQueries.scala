@@ -188,9 +188,16 @@ object TextQueries {
     val lsh = Similarity.cosineKnnLshBanded(emb, "vec_id", "embedding",
       "vec_id % 40 = 0", 3, AnnBandBits, AnnBands, 64, multiProbe = true)
       .select("qid", "nid")
-    val hits = brute.join(lsh, Seq("qid", "nid"), "left_semi")
-    brute.agg(countDistinct(col("qid")).as("n_queries"))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+    // ONE pass over ONE joined subtree (r6, guide §1.2): the old shape
+    // semi-joined for n_hits and separately aggregated brute for
+    // n_queries, then cross-joined the two single-row aggregates — the
+    // expensive brute subtree executed twice. A left join against the
+    // (qid, nid)-unique lsh top-3 preserves brute's rows exactly (no
+    // duplication), so countDistinct(qid) is unchanged and the match-flag
+    // count equals the semi-join count.
+    val flagged = brute.join(lsh.withColumn("__hit", lit(1)), Seq("qid", "nid"), "left")
+    flagged.agg(countDistinct(col("qid")).as("n_queries"),
+        count(col("__hit")).as("n_hits"))
       .select(col("n_queries"), col("n_hits"),
         (col("n_hits").cast("double") / (col("n_queries").cast("double") * 3.0)).as("recall"))
   }
