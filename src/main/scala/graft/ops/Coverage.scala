@@ -36,12 +36,33 @@ object Coverage {
       .agg(min(col(startCol)).as("s"), max(col(endCol)).as("e"))
   }
 
-  /** Total covered length + island count per `keys`. */
+  /** Total covered length + island count per `keys`.
+    *
+    * r6 (guide §2.4): computed WITHOUT materializing the islands — in
+    * start-sorted order each interval extends the covered length by
+    * `max(0, end - max(maxe, start))` (maxe = running max of preceding
+    * ends; a fully-covered interval contributes 0, a partially-overlapped
+    * one its uncovered suffix, an island-opener its full length), and the
+    * island count is the sum of break flags. Identical values to summing
+    * `e - s` over [[disjointUnion]]'s islands (each island's length is
+    * exactly the telescoped sum of its members' contributions), one
+    * window + ONE aggregate instead of window + island-groupBy +
+    * aggregate — a full shuffle less per coverage query (q08/q09/q43).
+    */
   def unionLength(df: DataFrame, keys: Seq[String], startCol: String = "start",
-      endCol: String = "end", orderTiebreak: Seq[String] = Nil): DataFrame =
-    disjointUnion(df, keys, startCol, endCol, orderTiebreak)
+      endCol: String = "end", orderTiebreak: Seq[String] = Nil): DataFrame = {
+    val ord = (Seq(startCol, endCol) ++ orderTiebreak).map(col)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__maxe", max(col(endCol)).over(wPrev))
+      .withColumn("__contrib",
+        greatest(col(endCol) - greatest(coalesce(col("__maxe"), col(startCol)), col(startCol)),
+          lit(0L)))
+      .withColumn("__brk",
+        when(col("__maxe").isNull || col(startCol) > col("__maxe"), 1L).otherwise(0L))
       .groupBy(keys.map(col): _*)
-      .agg(sum(col("e") - col("s")).as("covered"), count(lit(1)).as("n_islands"))
+      .agg(sum(col("__contrib")).as("covered"), sum(col("__brk")).as("n_islands"))
+  }
 
   /** Breadth per feature: union length of (probe ∩ feature) clips
     * (coverage.rs:277-377). `pairs` = an Overlap interval-join result.
