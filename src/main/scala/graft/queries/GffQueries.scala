@@ -600,8 +600,12 @@ object GffQueries {
     // checksum agg), which re-optimizes the plan at action time — a
     // restored threshold would silently drop the rewrite from the plan
     // that actually EXECUTES. The flag only affects this theta pattern,
-    // which no other query types in SQL.
+    // which no other query types in SQL. The bin width matches the 1024
+    // the operator-API twin (q36) passes for this corpus — r6: the
+    // rule's 8192 default left ~3k rows per (entity, bin) key on each
+    // side, ~8x the per-key pair work, 2-3x the wall clock.
     s.conf.set("spark.graft.intervalBin.force", "1")
+    s.conf.set("spark.graft.intervalBin.size", "1024")
     val df = s.sql(
       """SELECT p.probe_id AS probe_id, count(*) AS n_matches,
         |  sum(f.fid) AS sum_fid
@@ -629,6 +633,7 @@ object GffQueries {
     Views.feats(s, d).select(col("entity"), col("start"), col("end"), col("fid"))
       .createOrReplaceTempView("graft_q55_feats")
     s.conf.set("spark.graft.intervalBin.force", "1")
+    s.conf.set("spark.graft.intervalBin.size", "1024") // see q53's width note
     val df = s.sql(
       """SELECT p.probe_id AS probe_id, count(*) AS n_matches,
         |  sum(f.fid) AS sum_fid
