@@ -166,25 +166,53 @@ object IntervalJoin {
 
   /** Broadcast body — the build side's row cap was ALREADY verified by the
     * caller (public entry points re-check; [[join]] reuses its own count).
+    *
+    * r6: runs at the InternalRow level end to end (guide §1.2 per-task
+    * work). The old body collected external Rows and streamed the big
+    * side through an Encoders.row mapPartitions — every streamed row paid
+    * deserialize-to-GenericRow + re-encode just to probe a broadcast map.
+    * Now the build side collects UnsafeRows, the stream side maps
+    * `queryExecution.toRdd`, and each output row is one UnsafeProjection
+    * over a JoinedRow — no external Row exists anywhere on the path.
     */
   private def broadcastImpl(p: DataFrame, f: DataFrame, mode: OverlapMode,
       buildIsFeature: Boolean): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, JoinedRow, UnsafeProjection}
     val build = if (buildIsFeature) f else p
     val stream = if (buildIsFeature) p else f
     val spark = stream.sparkSession
-    val bRows: Array[Row] = build.collect()
+    val eType = build.schema.fields(0).dataType
+    // toRdd rows may be buffer-reused per partition: copy before collect
+    val bRows: Array[InternalRow] =
+      build.queryExecution.toRdd.map(_.copy()).collect()
     val byEntity: Map[Any, IntervalIndex] =
-      bRows.indices.groupBy(i => bRows(i).get(0)).map { case (e, idxs) =>
+      bRows.indices.groupBy(i => bRows(i).get(0, eType)).map { case (e, idxs) =>
         e -> IntervalIndex.build(idxs.map(i => (bRows(i).getLong(1), bRows(i).getLong(2), i)).toArray)
       }
     val bc = spark.sparkContext.broadcast((bRows, byEntity))
     // output layout is ALWAYS probe columns then feature payload
     val outSchema = StructType(p.schema.fields ++ f.schema.fields.drop(1))
-    stream.mapPartitions { it =>
+    val sFields = stream.schema.fields
+    val bFields = build.schema.fields
+    val nS = sFields.length
+    // JoinedRow layout is (stream, build); project to probe-then-feature
+    val outRefs =
+      if (buildIsFeature) // stream = probes: stream cols ++ build cols drop entity
+        sFields.indices.map(i => BoundReference(i, sFields(i).dataType, sFields(i).nullable)) ++
+          (1 until bFields.length).map(j =>
+            BoundReference(nS + j, bFields(j).dataType, bFields(j).nullable))
+      else // stream = features: build (probe) cols ++ stream cols drop entity
+        bFields.indices.map(j => BoundReference(nS + j, bFields(j).dataType, bFields(j).nullable)) ++
+          (1 until sFields.length).map(i =>
+            BoundReference(i, sFields(i).dataType, sFields(i).nullable))
+    val outRdd = stream.queryExecution.toRdd.mapPartitions { it =>
       val (rows, idx) = bc.value
+      val proj = UnsafeProjection.create(outRefs.toArray)
+      val joined = new JoinedRow
       it.flatMap { sr =>
-        idx.get(sr.get(0)) match {
-          case None => Iterator.empty[Row]
+        idx.get(sr.get(0, eType)) match {
+          case None => Iterator.empty[InternalRow]
           case Some(ix) =>
             val ss = sr.getLong(1); val se = sr.getLong(2)
             // candidate superset from the index, exact-filtered by modeOk:
@@ -203,14 +231,11 @@ object IntervalJoin {
                 if (buildIsFeature) modeOk(mode, ss, se, br.getLong(1), br.getLong(2))
                 else modeOk(mode, br.getLong(1), br.getLong(2), ss, se)
               }
-              .map { i =>
-                val br = rows(i)
-                if (buildIsFeature) Row.fromSeq(sr.toSeq ++ br.toSeq.drop(1))
-                else Row.fromSeq(br.toSeq ++ sr.toSeq.drop(1))
-              }
+              .map { i => proj(joined(sr, rows(i))): InternalRow }
         }
       }
-    }(Encoders.row(outSchema))
+    }
+    org.apache.spark.sql.graftx.InternalRows.create(spark, outRdd, outSchema)
   }
 
   /** Path 3 — range-binned plane sweep. Both sides explode into coordinate
