@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -89,28 +89,48 @@ object AsOfJoin {
     broadcastChecked(probes, feats)
   }
 
-  /** [[broadcastPath]] body, row cap ALREADY verified by the caller. */
+  /** [[broadcastPath]] body, row cap ALREADY verified by the caller.
+    *
+    * r6: InternalRow end to end, like IntervalJoin.broadcastImpl — the
+    * old Encoders.row mapPartitions deserialized every probe row to an
+    * external Row and re-encoded the output. The matched feature row is
+    * projected as (f_t, values...) behind the probe columns via one
+    * UnsafeProjection over a JoinedRow; the no-match arm joins an
+    * all-null feature row of the same width.
+    */
   private def broadcastChecked(probes: DataFrame, feats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
     val spark = probes.sparkSession
     val fVal = feats.columns.filterNot(Set("entity", "t"))
     val f = feats.select((Seq(col("entity"), col("t")) ++ fVal.map(col)): _*)
-    val fRows = f.collect()
+    val eType = f.schema.fields(0).dataType
+    val fRows: Array[InternalRow] = f.queryExecution.toRdd.map(_.copy()).collect()
     val byEntity: Map[Any, (Array[Long], Array[Int])] =
-      fRows.indices.groupBy(i => fRows(i).get(0)).map { case (e, idxs) =>
+      fRows.indices.groupBy(i => fRows(i).get(0, eType)).map { case (e, idxs) =>
         val sorted = idxs.sortBy(i => (fRows(i).getLong(1), i.toLong)).toArray
         e -> (sorted.map(i => fRows(i).getLong(1)), sorted)
       }
     val bc = spark.sparkContext.broadcast((fRows, byEntity))
-    val nVal = fVal.length
-    val outSchema = StructType(probes.schema.fields ++
+    val pFields = probes.schema.fields
+    val fFields = f.schema.fields
+    val nP = pFields.length
+    val outSchema = StructType(pFields ++
       (org.apache.spark.sql.types.StructField("f_t", org.apache.spark.sql.types.LongType, nullable = true) +:
-        f.schema.fields.drop(2).map(_.copy(nullable = true))))
-    probes.mapPartitions { it =>
+        fFields.drop(2).map(_.copy(nullable = true))))
+    // JoinedRow layout: (probe row, feature row); feature's entity dropped
+    val outRefs =
+      pFields.indices.map(i => BoundReference(i, pFields(i).dataType, pFields(i).nullable)) ++
+        (1 until fFields.length).map(j =>
+          BoundReference(nP + j, fFields(j).dataType, nullable = true))
+    val outRdd = probes.queryExecution.toRdd.mapPartitions { it =>
       val (rows, idx) = bc.value
+      val proj = UnsafeProjection.create(outRefs.toArray)
+      val joined = new JoinedRow
+      val nullF: InternalRow = new GenericInternalRow(fFields.length)
       it.map { pr =>
-        val base = pr.toSeq
-        idx.get(pr.get(0)) match {
-          case None => Row.fromSeq(base ++ Seq.fill(nVal + 1)(null))
+        val fr: InternalRow = idx.get(pr.get(0, eType)) match {
+          case None => nullF
           case Some((ts, order)) =>
             val t = pr.getLong(1)
             // greatest index with ts(i) <= t
@@ -119,13 +139,11 @@ object AsOfJoin {
               val mid = (lo + hi) >>> 1
               if (ts(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
             }
-            if (ans < 0) Row.fromSeq(base ++ Seq.fill(nVal + 1)(null))
-            else {
-              val frow = rows(order(ans))
-              Row.fromSeq(base ++ (frow.getLong(1) +: frow.toSeq.drop(2)))
-            }
+            if (ans < 0) nullF else rows(order(ans))
         }
+        proj(joined(pr, fr)): InternalRow
       }
-    }(Encoders.row(outSchema))
+    }
+    org.apache.spark.sql.graftx.InternalRows.create(spark, outRdd, outSchema)
   }
 }
