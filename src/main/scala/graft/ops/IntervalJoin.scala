@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -288,21 +288,47 @@ object IntervalJoin {
     val outSchema = StructType(p.schema.fields ++ f.schema.fields.drop(1))
     val m = mode
     val wBin = width
-    u.mapPartitions { it =>
+    // r6: the sweep runs at the InternalRow level (like broadcastImpl) —
+    // the old Encoders.row mapPartitions deserialized every union row to
+    // an external Row (nested structs included) and re-encoded every
+    // emitted pair. Actives retain COPIES of their payload struct (the
+    // sort iterator reuses buffers); emitted rows are copies of one
+    // UnsafeProjection over entity + probe payload + feature payload.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+    val eField = p.schema.fields(0)
+    val pW = pStructT.fields.length
+    val fW = fStructT.fields.length
+    val outRefs = (BoundReference(0, eField.dataType, eField.nullable) +:
+      pStructT.fields.zipWithIndex.map { case (sf, i) =>
+        BoundReference(1 + i, sf.dataType, sf.nullable) }) ++
+      fStructT.fields.zipWithIndex.map { case (sf, i) =>
+        BoundReference(1 + pW + i, sf.dataType, sf.nullable) }
+    val outRdd = u.queryExecution.toRdd.mapPartitions { it =>
+      val proj = UnsafeProjection.create(outRefs.toArray)
+      val jPf = new JoinedRow
+      val jOut = new JoinedRow
+      val eRow = new GenericInternalRow(1)
       var curEntity: Any = null
       var curBin: Long = Long.MinValue
       // actives: (start, end, payloadRow), start-sorted by arrival
-      val activeP = new ArrayBuffer[(Long, Long, Row)]()
-      val activeF = new ArrayBuffer[(Long, Long, Row)]()
+      val activeP = new ArrayBuffer[(Long, Long, InternalRow)]()
+      val activeF = new ArrayBuffer[(Long, Long, InternalRow)]()
       it.flatMap { r =>
-        val e = r.get(0)
+        val e = r.get(0, eField.dataType)
         val b = r.getLong(1)
         if (e != curEntity || b != curBin) {
-          curEntity = e; curBin = b; activeP.clear(); activeF.clear()
+          // copy the group key: it must stay valid across input rows
+          curEntity = e match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+            case other => other
+          }
+          curBin = b; activeP.clear(); activeF.clear()
         }
-        val pr = if (r.isNullAt(3)) null else r.getStruct(3)
-        val out = new ArrayBuffer[Row]()
-        if (pr != null) {
+        eRow.update(0, e)
+        val out = new ArrayBuffer[InternalRow]()
+        if (!r.isNullAt(3)) {
+          val pr = r.getStruct(3, pW)
           val ps = pr.getLong(0); val pe = pr.getLong(1)
           // scan feature actives: emit overlaps, compact expired
           var w = 0
@@ -314,15 +340,15 @@ object IntervalJoin {
               // across the bins a replicated pair co-occurs in); same
               // truncating division as the sequence() bin assignment
               if ((if (ps > fs) ps else fs) / wBin == b && modeOk(m, ps, pe, fs, fe))
-                out += Row.fromSeq(e +: (pr.toSeq ++ frow.toSeq))
+                out += proj(jOut(eRow, jPf(pr, frow))).copy()
               activeF(w) = activeF(i); w += 1
             }
             i += 1
           }
           activeF.dropRightInPlace(activeF.length - w)
-          activeP += ((ps, pe, pr))
+          activeP += ((ps, pe, pr.copy()))
         } else {
-          val frow = r.getStruct(4)
+          val frow = r.getStruct(4, fW)
           val fs = frow.getLong(0); val fe = frow.getLong(1)
           var w = 0
           var i = 0
@@ -330,17 +356,18 @@ object IntervalJoin {
             val (ps, pe, prow) = activeP(i)
             if (pe > fs) {
               if ((if (ps > fs) ps else fs) / wBin == b && modeOk(m, ps, pe, fs, fe))
-                out += Row.fromSeq(e +: (prow.toSeq ++ frow.toSeq))
+                out += proj(jOut(eRow, jPf(prow, frow))).copy()
               activeP(w) = activeP(i); w += 1
             }
             i += 1
           }
           activeP.dropRightInPlace(activeP.length - w)
-          activeF += ((fs, fe, frow))
+          activeF += ((fs, fe, frow.copy()))
         }
         out
       }
-    }(Encoders.row(outSchema))
+    }
+    org.apache.spark.sql.graftx.InternalRows.create(p.sparkSession, outRdd, outSchema)
   }
 
   /** Invert: probes with NO match under `mode` — the GLOBAL complement.

@@ -25,7 +25,17 @@ object Views {
     * wrong" #5); the whole root is deleted on JVM exit.
     */
   private lazy val scratchRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    // RAM-backed when the host has it, like the bench spill dir and the
+    // streaming checkpoints (r6, guide §6): the q41/q46/q51 round-trip
+    // fixtures are written AND re-read inside their timed queries, and
+    // /tmp's fsync'd small files were the slowest part of both writes.
+    // Scratch is ephemeral by definition; production output goes through
+    // real sinks, not this root.
+    val base = new java.io.File("/dev/shm")
+    val p =
+      if (base.isDirectory && base.canWrite)
+        java.nio.file.Files.createTempDirectory(base.toPath, "graft_scratch")
+      else java.nio.file.Files.createTempDirectory("graft_scratch")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
