@@ -122,6 +122,14 @@ object GffOps {
         val prev = lastProbePlan.put(probes0.sparkSession, p)
         if (prev != null && (prev ne p))
           try prev.unpersist(false) catch { case _: Throwable => () }
+        // ADVICE r5 (low): entries for STOPPED sessions were pinned
+        // forever (no removal path). Purge them here — the map is only
+        // touched on this path, so the sweep is O(live sessions).
+        val it = lastProbePlan.entrySet().iterator()
+        while (it.hasNext) {
+          val en = it.next()
+          if (en.getKey.sparkContext.isStopped) it.remove()
+        }
         p
       } else probes0
     val ivs = t.intervals.select(col("entity_id").as("entity"), col("start"),

@@ -15,7 +15,7 @@ object CoreQueries {
 
   // q01 — flagship interval join (Overlap), binned/salted path, per-probe checksum agg.
   val q01: Q = (s, d) =>
-    IntervalJoin.binnedJoin(Views.probes(s, d), feats4(s, d), Overlap, 1024L)
+    IntervalJoin.binnedJoin(Views.probes(s, d), feats4(s, d), Overlap, 256L)
       .groupBy("probe_id")
       .agg(count(lit(1)).as("n_matches"), sum("fid").as("sum_fid"),
         min("f_start").as("min_fs"), max("f_end").as("max_fe"))
@@ -60,7 +60,7 @@ object CoreQueries {
   // q04 — invert (-I): probes NOT contained in any feature.
   val q04: Q = (s, d) =>
     IntervalJoin.invert(Views.probes(s, d), feats4(s, d), ContainsRegion,
-      Seq("probe_id"), 1024L).select("probe_id", "entity", "start", "end")
+      Seq("probe_id"), 256L).select("probe_id", "entity", "start", "end")
 
   val q04Sql: String =
     s"""WITH ${Views.featsSql}, ${Views.probesSql}
@@ -146,7 +146,7 @@ object CoreQueries {
 
   // q09 — breadth per feature: union length of probe∩feature clips (coverage.rs:277-377).
   val q09: Q = (s, d) => {
-    val pairs = IntervalJoin.binnedJoin(Views.probes(s, d), feats4(s, d), Overlap, 1024L)
+    val pairs = IntervalJoin.binnedJoin(Views.probes(s, d), feats4(s, d), Overlap, 256L)
     Coverage.breadth(pairs, "fid", Seq("probe_id"))
   }
 
@@ -169,7 +169,7 @@ object CoreQueries {
 
   // q10 — depth per feature: EXACT distinct probe count (depth.rs:193-207).
   val q10: Q = (s, d) => {
-    val pairs = IntervalJoin.binnedJoin(Views.probes(s, d), feats4(s, d), Overlap, 1024L)
+    val pairs = IntervalJoin.binnedJoin(Views.probes(s, d), feats4(s, d), Overlap, 256L)
     Coverage.depth(pairs, "fid", "probe_id")
   }
 

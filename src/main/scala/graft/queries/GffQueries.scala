@@ -268,7 +268,7 @@ object GffQueries {
   val q36: Q = (s, d) => {
     val probes = Views.probesBulk(s, d)
     val feats = Views.feats(s, d).select("entity", "start", "end", "fid")
-    IntervalJoin.binnedJoin(probes, feats, Overlap, 1024L)
+    IntervalJoin.binnedJoin(probes, feats, Overlap, 256L)
       .groupBy("probe_id")
       .agg(count(lit(1)).as("n_matches"), sum("fid").as("sum_fid"))
   }
@@ -600,12 +600,12 @@ object GffQueries {
     // checksum agg), which re-optimizes the plan at action time — a
     // restored threshold would silently drop the rewrite from the plan
     // that actually EXECUTES. The flag only affects this theta pattern,
-    // which no other query types in SQL. The bin width matches the 1024
-    // the operator-API twin (q36) passes for this corpus — r6: the
-    // rule's 8192 default left ~3k rows per (entity, bin) key on each
-    // side, ~8x the per-key pair work, 2-3x the wall clock.
+    // which no other query types in SQL. The bin width matches the 256
+    // the operator-API twin (q36) passes for this corpus (~2x the max
+    // interval length; r6: the rule's 8192 default left ~3k rows per
+    // (entity, bin) key per side — quadratic per-key pair work, 2-3x wall clock.
     s.conf.set("spark.graft.intervalBin.force", "1")
-    s.conf.set("spark.graft.intervalBin.size", "1024")
+    s.conf.set("spark.graft.intervalBin.size", "256")
     val df = s.sql(
       """SELECT p.probe_id AS probe_id, count(*) AS n_matches,
         |  sum(f.fid) AS sum_fid
@@ -633,7 +633,7 @@ object GffQueries {
     Views.feats(s, d).select(col("entity"), col("start"), col("end"), col("fid"))
       .createOrReplaceTempView("graft_q55_feats")
     s.conf.set("spark.graft.intervalBin.force", "1")
-    s.conf.set("spark.graft.intervalBin.size", "1024") // see q53's width note
+    s.conf.set("spark.graft.intervalBin.size", "256") // see q53's width note
     val df = s.sql(
       """SELECT p.probe_id AS probe_id, count(*) AS n_matches,
         |  sum(f.fid) AS sum_fid
