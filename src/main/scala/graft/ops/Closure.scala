@@ -32,7 +32,11 @@ object Closure {
     * corpus-sized edge table in executor storage for the session).
     */
   def resolveRootsReleasable(edges: DataFrame, maxRounds: Int = 10): (DataFrame, () => Unit) = {
-    val base = edges.select(col("id"), coalesce(col("parent"), col("id")).as("root"))
+    // r6: round 1 self-joins `base` against itself — uncached, BOTH sides
+    // re-execute the caller's edge plan (for the index build that is a
+    // groupBy + join over the corpus, twice). One small cache, released
+    // as soon as round 1's result is itself cached.
+    val base = edges.select(col("id"), coalesce(col("parent"), col("id")).as("root")).cache()
     // ids present in the table; a parent pointing outside resolves to itself
     var cur = base
     // handle to the PLAN that .cache() registered: unpersist must be called
@@ -54,11 +58,13 @@ object Closure {
         .cache()
       val changed = next.where(col("__chg")).limit(1).count()
       if (cached != null) cached.unpersist(false)
+      else base.unpersist(false) // round 1 materialized; base is done
       cached = next
       cur = next.drop("__chg")
       converged = changed == 0
       round += 1
     }
+    if (round == 0) base.unpersist(false) // maxRounds == 0 caller
     val finalCache = cached
     (cur, () => if (finalCache != null) { finalCache.unpersist(false); () })
   }
