@@ -241,9 +241,34 @@ object VectorOps {
     acc
   }
 
+  /** First colliding kept band for a banded-LSH pair (emit-once dedup,
+    * Similarity.cosineNearDupPairs): the smallest band g whose
+    * `bandBits`-bit signature slices differ in AT MOST ONE bit (the
+    * Hamming-1 multi-probe collision predicate — masks {0} ∪ single
+    * bits ⟺ popcount(xor) <= 1) AND whose bit is set in the b-side's
+    * kept-bucket mask (a capped-out bucket cannot produce the pair in
+    * that band). -1 if no kept band collides.
+    */
+  def firstCollidingBand(sa: Long, sb: Long, keptMask: Long,
+      bandBits: Int, nBands: Int): Long = {
+    val x = sa ^ sb
+    val w = (1L << bandBits) - 1
+    var g = 0
+    while (g < nBands) {
+      if (((keptMask >> g) & 1L) == 1L &&
+          java.lang.Long.bitCount((x >> (g * bandBits)) & w) <= 1) return g
+      g += 1
+    }
+    -1L
+  }
+
   import org.apache.spark.sql.graftx.Bridge
   def dot_f(x: Column, y: Column): Column =
     Bridge.column(DotExpr(Bridge.expression(x), Bridge.expression(y)))
+  def first_colliding_band(sa: Column, sb: Column, kept: Column,
+      bandBits: Int, nBands: Int): Column =
+    Bridge.column(FirstCollidingBandExpr(Bridge.expression(sa),
+      Bridge.expression(sb), Bridge.expression(kept), bandBits, nBands))
 }
 
 case class DotExpr(left: Expression, right: Expression)
@@ -282,6 +307,23 @@ case class MinHashLanesExpr(child: Expression, n: Int, k: Int) extends UnaryExpr
         s"graft.functions.TextHash.minHashLanes($c.getBytes(), $n, $k))")
   override protected def withNewChildInternal(newChild: Expression): MinHashLanesExpr =
     copy(child = newChild)
+}
+
+case class FirstCollidingBandExpr(sa: Expression, sb: Expression, kept: Expression,
+    bandBits: Int, nBands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = sa
+  override def second: Expression = sb
+  override def third: Expression = kept
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any, k: Any): Any =
+    VectorOps.firstCollidingBand(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      k.asInstanceOf[Long], bandBits, nBands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, k) =>
+      s"graft.functions.VectorOps.firstCollidingBand($a, $b, $k, $bandBits, $nBands)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): FirstCollidingBandExpr = copy(sa = f, sb = s, kept = t)
 }
 
 case class FingerprintExpr(child: Expression) extends UnaryExpression {

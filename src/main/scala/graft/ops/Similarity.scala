@@ -129,16 +129,47 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
       threshold: Double, bandBits: Int = 4, nBands: Int = 12,
       dim: Int = 64, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // r6 — EMIT-ONCE band dedup (the binned interval join's trick ported
+    // to banded LSH, guide §2.4 "remove shuffles outright"): the old path
+    // emitted a (da, db) row for EVERY colliding (band, probe-mask) and
+    // paid a full exchange to `.distinct()` them (~15M rows at sf0.1 for
+    // ~1M unique pairs). Both sides now carry the PACKED whole-schedule
+    // signature (nBands x bandBits sign tests in one long — band g's
+    // bucket is bits [g*bandBits, (g+1)*bandBits)), and the b side adds a
+    // per-id kept-band bitmask (bands where its bucket survives the cap).
+    // A matched pair is emitted ONLY in its FIRST colliding kept band
+    // (collision == Hamming distance <= 1 on the band's slice, exactly
+    // the {0} ∪ single-bit probe-mask set), so each unique pair surfaces
+    // exactly once and the distinct exchange disappears. Same pair set:
+    // old = pairs with SOME kept colliding band; new emits at the MINIMAL
+    // such band.
+    require(bandBits * nBands <= 60, "packed signature must fit a long")
     val base = withNorm(corpus, embCol)
+    val w = (1L << bandBits) - 1
+    val sig = expr(lshBucketExpr(embCol, bandBits * nBands, dim, 0))
+    val gRows = explode(expr(s"sequence(0L, ${nBands - 1}L)"))
     val masks = 0L +: (0 until bandBits).map(j => 1L << j)
-    val a = bandRows(base, idCol, embCol, bandBits, nBands, dim, "da")
-      .select(col("da"), col("g"), col("bkt"),
+    val a = corpus.select(col(idCol).as("da"), sig.as("__s"))
+      .select(col("da"), col("__s").as("__sa"), gRows.as("g"))
+      .select(col("da"), col("__sa"), col("g"),
         explode(array(masks.map(lit(_)): _*)).as("__m"))
-      .select(col("da"), col("g"), col("bkt").bitwiseXOR(col("__m")).as("bkt"))
-    val b = capBuckets(bandRows(base, idCol, embCol, bandBits, nBands, dim, "db"), maxBucket)
+      .select(col("da"), col("__sa"), col("g"),
+        expr(s"(shiftright(__sa, CAST(g * $bandBits AS INT)) & ${w}L)")
+          .bitwiseXOR(col("__m")).as("bkt"))
+    val wDb = Window.partitionBy(col("db"))
+    val b = corpus.select(col(idCol).as("db"), sig.as("__s"))
+      .select(col("db"), col("__s").as("__sb"), gRows.as("g"))
+      .withColumn("bkt", expr(s"shiftright(__sb, CAST(g * $bandBits AS INT)) & ${w}L"))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("g"), col("bkt"))))
+      .withColumn("__kept", sum(when(col("__bn") <= maxBucket,
+        expr("CAST(shiftleft(1, CAST(g AS INT)) AS BIGINT)")).otherwise(0L)).over(wDb))
+      .where(col("__bn") <= maxBucket)
+      .select(col("db"), col("__sb"), col("__kept"), col("g"), col("bkt"))
     val pairs = a.join(b, Seq("g", "bkt"))
-      .where(col("da") < col("db"))
-      .select("da", "db").distinct()
+      .where(col("da") < col("db") &&
+        graft.functions.VectorOps.first_colliding_band(
+          col("__sa"), col("__sb"), col("__kept"), bandBits, nBands) === col("g"))
+      .select("da", "db")
     val ea = base.select(col(idCol).as("da"), col(embCol).as("qe"), col("__n2").as("qn2"))
     val eb = base.select(col(idCol).as("db"), col(embCol).as("ne"), col("__n2").as("nn2"))
     pairs.join(ea, "da").join(eb, "db")
