@@ -211,6 +211,8 @@ object TextHash {
     Bridge.column(SimHashExpr(Bridge.expression(c), bits))
   def min_hash_lanes(c: Column, n: Int, k: Int): Column =
     Bridge.column(MinHashLanesExpr(Bridge.expression(c), n, k))
+  def gff_attrs(c: Column, attrKey: String): Column =
+    Bridge.column(GffAttrsExpr(Bridge.expression(c), attrKey))
 }
 
 case class TokenHashAllExpr(child: Expression) extends UnaryExpression {
@@ -306,6 +308,74 @@ case class MinHashLanesExpr(child: Expression, n: Int, k: Int) extends UnaryExpr
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.functions.TextHash.minHashLanes($c.getBytes(), $n, $k))")
   override protected def withNewChildInternal(newChild: Expression): MinHashLanesExpr =
+    copy(child = newChild)
+}
+
+/** Fused GFF attribute extraction: one byte scan of the attrs column
+  * replacing THREE regexp_extract executions per row
+  * (`ID=([^;\s]+)`, `Parent=([^;\s]+)`, `<attrKey>=([^;]+)` — the r6
+  * index-build hot path). Semantics replicate the regexes exactly:
+  * the FIRST occurrence of the literal key whose value run is
+  * non-empty wins (an occurrence with an empty run is skipped and the
+  * scan continues, like the regex engine); ID/Parent values stop at
+  * `;` or java-regex \s (space, \t, \n, \x0B, \f, \r), attrKey values
+  * stop at `;` only. Returns struct(id, parent, attr), each field null
+  * when its pattern has no match (the nullIfEmpty contract).
+  * ASCII-safe: keys and stop chars are single-byte; a multi-byte
+  * sequence can never alias them in UTF-8.
+  */
+object GffAttrs {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** First match of `key` + "=" + a non-empty run not containing a stop
+    * char; returns the run or null.
+    */
+  private def find(bytes: Array[Byte], key: Array[Byte], stopWs: Boolean): UTF8String = {
+    val n = bytes.length
+    val k = key.length
+    var i = 0
+    while (i + k < n) { // need at least one byte after "key="
+      var m = 0
+      while (m < k && bytes(i + m) == key(m)) m += 1
+      if (m == k) {
+        var j = i + k
+        while (j < n && bytes(j) != ';' && !(stopWs && isWs(bytes(j)))) j += 1
+        if (j > i + k)
+          return UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, i + k, j))
+        // empty run: the regex engine would keep scanning from i+1
+      }
+      i += 1
+    }
+    null
+  }
+
+  private val IdKey = "ID=".getBytes("UTF-8")
+  private val ParentKey = "Parent=".getBytes("UTF-8")
+
+  def extract(attrs: UTF8String, attrKeyEq: Array[Byte]): InternalRow = {
+    val bytes = attrs.getBytes
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+    row.update(0, find(bytes, IdKey, stopWs = true))
+    row.update(1, find(bytes, ParentKey, stopWs = true))
+    row.update(2, find(bytes, attrKeyEq, stopWs = false))
+    row
+  }
+}
+
+case class GffAttrsExpr(child: Expression, attrKey: String) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("id", StringType, nullable = true),
+    StructField("parent", StringType, nullable = true),
+    StructField("attr", StringType, nullable = true)))
+  @transient private lazy val keyEq = (attrKey + "=").getBytes("UTF-8")
+  override def nullSafeEval(input: Any): Any =
+    GffAttrs.extract(input.asInstanceOf[UTF8String], keyEq)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keyRef = ctx.addReferenceObj("attrKeyEq", keyEq, "byte[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GffAttrs.extract($c, $keyRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GffAttrsExpr =
     copy(child = newChild)
 }
 

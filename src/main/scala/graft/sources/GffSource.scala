@@ -81,12 +81,28 @@ object GffSource {
       .withColumn("start", least(col("raw_start"), col("raw_end")) - 1)
       .withColumn("end", greatest(col("raw_start"), col("raw_end")))
       .drop("raw_start", "raw_end")
-      .withColumn("id", nullIfEmpty(regexp_extract(col("attrs"), "ID=([^;\\s]+)", 1)))
-      .withColumn("parent", nullIfEmpty(regexp_extract(col("attrs"), "Parent=([^;\\s]+)", 1)))
-      .withColumn("attr",
-        nullIfEmpty(regexp_extract(col("attrs"), java.util.regex.Pattern.quote(attrKey) + "=([^;]+)", 1)))
+      // r6: ONE fused byte scan (functions.GffAttrs) replaces the three
+      // regexp_extract engine runs per row. Exact same semantics as
+      // `ID=([^;\s]+)` / `Parent=([^;\s]+)` / `<attrKey>=([^;]+)` with
+      // the nullIfEmpty contract — equality-fuzzed against the regex
+      // formulation in GffSourceSpec.
+      .withColumn("__ga", graft.functions.TextHash.gff_attrs(col("attrs"), attrKey))
+      .withColumn("id", col("__ga.id"))
+      .withColumn("parent", col("__ga.parent"))
+      .withColumn("attr", col("__ga.attr"))
+      .drop("__ga")
     f
   }
+
+  /** The pre-r6 regex formulation of the attribute extraction — kept as
+    * the executable spec the fused expression is equality-tested against
+    * (same pattern as Dedup.simHashHof / TextOps.tokenizeHof).
+    */
+  def attrRegexSpec(df: DataFrame, attrKey: String = "gene_name"): DataFrame =
+    df.withColumn("id_spec", nullIfEmpty(regexp_extract(col("attrs"), "ID=([^;\\s]+)", 1)))
+      .withColumn("parent_spec", nullIfEmpty(regexp_extract(col("attrs"), "Parent=([^;\\s]+)", 1)))
+      .withColumn("attr_spec",
+        nullIfEmpty(regexp_extract(col("attrs"), java.util.regex.Pattern.quote(attrKey) + "=([^;]+)", 1)))
 
   private def nullIfEmpty(c: org.apache.spark.sql.Column) =
     when(length(c) > 0, c)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.TextOps
+import graft.sources.GffSource
 import org.apache.spark.sql.functions._
 
 /** The codegen'd TextHash expressions must agree exactly with their
@@ -91,4 +92,51 @@ class TextHashExprSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getAs[scala.collection.Seq[Int]](1)).toMap
     assert(fast == spec)
   }
+
+  test("GffAttrsExpr == the regexp_extract spec on adversarial attrs") {
+    // hand-picked adversarial shapes + a deterministic fuzz corpus
+    val hand = Seq(
+      "ID=a;Parent=b;gene_name=g1",
+      "ID=;ID=second",               // empty first run: regex takes the next
+      "XID=embedded;Parent=p",       // substring match, no anchor
+      "Parent=p only",
+      "gene_name=has spaces;ID=x",   // attrKey run may contain spaces
+      "gene_name=;gene_name=v2",
+      "ID=a\tParent=tab-sep",        // \s stops ID/Parent runs
+      "ID=a Parent=b gene_name=c",
+      ";;;",
+      "",
+      "ID=",
+      "ID=;",
+      "gene_name=",
+      "no keys at all",
+      "ID==double;Parent=ok",        // '=' is a valid run char
+      "ID=trail;",
+      "PParent=pp;ID=i",
+      "gene_name=v;extra=ID=inside")
+    val charset = Array("ID=", "Parent=", "gene_name=", ";", " ", "\t", "a", "b",
+      "=", "g1", "x;y", "\r", "Z")
+    val fuzz = (0 until 400).map { i =>
+      val r = new scala.util.Random(i * 7919)
+      (0 until (1 + r.nextInt(8))).map(_ => charset(r.nextInt(charset.length))).mkString
+    }
+    val df = (hand ++ fuzz).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("k", "attrs")
+    val both = GffSource.attrRegexSpec(df)
+      .withColumn("__ga", graft.functions.TextHash.gff_attrs(col("attrs"), "gene_name"))
+      .select(col("k"), col("attrs"),
+        col("id_spec"), col("parent_spec"), col("attr_spec"),
+        col("__ga.id"), col("__ga.parent"), col("__ga.attr"))
+      .collect()
+    both.foreach { r =>
+      assert(r.get(2) == r.get(5) && r.get(3) == r.get(6) && r.get(4) == r.get(7),
+        s"mismatch on attrs='${r.get(1)}': spec=(${r.get(2)},${r.get(3)},${r.get(4)}) " +
+          s"fused=(${r.get(5)},${r.get(6)},${r.get(7)})")
+    }
+    // the corpus must exercise the discriminating shapes
+    assert(both.exists(_.get(2) != null) && assertNonNull(both))
+  }
+
+  private def assertNonNull(rows: Array[org.apache.spark.sql.Row]): Boolean =
+    rows.exists(_.get(2) == null)
 }
