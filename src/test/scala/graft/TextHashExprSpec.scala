@@ -133,10 +133,8 @@ class TextHashExprSpec extends SparkSpec {
         s"mismatch on attrs='${r.get(1)}': spec=(${r.get(2)},${r.get(3)},${r.get(4)}) " +
           s"fused=(${r.get(5)},${r.get(6)},${r.get(7)})")
     }
-    // the corpus must exercise the discriminating shapes
-    assert(both.exists(_.get(2) != null) && assertNonNull(both))
+    // the corpus must exercise both branches (matches AND no-matches)
+    assert(both.exists(_.get(2) != null), "fixture must produce ID matches")
+    assert(both.exists(_.get(2) == null), "fixture must produce ID non-matches")
   }
-
-  private def assertNonNull(rows: Array[org.apache.spark.sql.Row]): Boolean =
-    rows.exists(_.get(2) == null)
 }
